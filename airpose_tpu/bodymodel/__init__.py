@@ -1,0 +1,20 @@
+from .smplx import (
+    SMPLXOutput,
+    SMPLXParams,
+    load_smplx_npz,
+    smplx_forward,
+    synthetic_smplx_params,
+)
+from .vposer import VPoserParams, vposer_decode, vposer_encode, init_vposer_params
+
+__all__ = [
+    "SMPLXOutput",
+    "SMPLXParams",
+    "load_smplx_npz",
+    "smplx_forward",
+    "synthetic_smplx_params",
+    "VPoserParams",
+    "vposer_decode",
+    "vposer_encode",
+    "init_vposer_params",
+]

@@ -1,0 +1,187 @@
+"""Geometry unit tests: closed-form properties + cross-checks against
+independently-written torch/scipy formulations (SURVEY.md §7 step 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpose_tpu.geometry import (
+    aa_to_rotmat,
+    batch_rodrigues,
+    geman_mcclure,
+    lstsq_triangulation,
+    perspective_projection,
+    rot6d_to_rotmat,
+    rotmat_to_aa,
+    rotmat_to_rot6d,
+    transform_smpl,
+    weak_cam_from_position,
+    weak_cam_to_trans,
+)
+
+
+def random_rotmats(rng, n):
+    """Random rotations via QR of gaussian matrices."""
+    A = rng.normal(size=(n, 3, 3))
+    Q, R = np.linalg.qr(A)
+    Q = Q * np.sign(np.diagonal(R, axis1=1, axis2=2))[:, None, :]
+    det = np.linalg.det(Q)
+    Q[:, :, 0] *= det[:, None]
+    return Q
+
+
+def test_batch_rodrigues_matches_scipy(rng):
+    aa = rng.normal(size=(64, 3)).astype(np.float32)
+    from scipy.spatial.transform import Rotation
+
+    want = Rotation.from_rotvec(aa).as_matrix()
+    got = np.asarray(batch_rodrigues(jnp.asarray(aa)))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_batch_rodrigues_zero_angle_safe():
+    aa = jnp.zeros((4, 3))
+    R = batch_rodrigues(aa)
+    np.testing.assert_allclose(np.asarray(R), np.eye(3)[None].repeat(4, 0), atol=1e-5)
+    # Gradients must be finite at zero.
+    g = jax.grad(lambda x: batch_rodrigues(x).sum())(jnp.zeros((1, 3)))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rot6d_roundtrip(rng):
+    R = random_rotmats(rng, 32).astype(np.float32)
+    six = rotmat_to_rot6d(jnp.asarray(R))
+    R2 = rot6d_to_rotmat(six)
+    np.testing.assert_allclose(np.asarray(R2), R, atol=1e-5)
+
+
+def test_rot6d_produces_valid_rotations(rng):
+    x = jnp.asarray(rng.normal(size=(50, 6)).astype(np.float32))
+    R = np.asarray(rot6d_to_rotmat(x))
+    np.testing.assert_allclose(
+        R @ R.transpose(0, 2, 1), np.eye(3)[None].repeat(50, 0), atol=1e-5
+    )
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_rot6d_matches_torch_reference_semantics(rng):
+    """The 6 numbers are the first two *columns* (reshape(-1,3,2))."""
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.normal(size=(16, 6)).astype(np.float32)
+    xt = torch.from_numpy(x).reshape(-1, 3, 2)
+    a1, a2 = xt[:, :, 0], xt[:, :, 1]
+    b1 = F.normalize(a1)
+    b2 = F.normalize(a2 - torch.einsum("bi,bi->b", b1, a2).unsqueeze(-1) * b1)
+    b3 = torch.linalg.cross(b1, b2)
+    want = torch.stack((b1, b2, b3), dim=-1).numpy()
+    got = np.asarray(rot6d_to_rotmat(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotmat_to_aa_roundtrip(rng):
+    R = random_rotmats(rng, 128).astype(np.float32)
+    aa = rotmat_to_aa(jnp.asarray(R))
+    R2 = np.asarray(aa_to_rotmat(aa))
+    np.testing.assert_allclose(R2, R, atol=1e-4)
+
+
+def test_rotmat_to_aa_identity():
+    aa = np.asarray(rotmat_to_aa(jnp.eye(3)[None]))
+    np.testing.assert_allclose(aa, np.zeros((1, 3)), atol=1e-5)
+
+
+def test_rotmat_to_aa_near_pi(rng):
+    from scipy.spatial.transform import Rotation
+
+    axes = rng.normal(size=(8, 3))
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    aa_in = (axes * (np.pi - 1e-4)).astype(np.float32)
+    R = Rotation.from_rotvec(aa_in).as_matrix().astype(np.float32)
+    aa_out = np.asarray(rotmat_to_aa(jnp.asarray(R)))
+    R2 = Rotation.from_rotvec(aa_out).as_matrix()
+    np.testing.assert_allclose(R2, R, atol=1e-3)
+
+
+def test_perspective_projection_pinhole():
+    pts = jnp.asarray([[[0.0, 0.0, 5.0], [1.0, 2.0, 10.0]]])
+    out = perspective_projection(
+        pts,
+        rotation=jnp.eye(3)[None],
+        translation=jnp.zeros((1, 3)),
+        focal_length=(1475.0, 1475.0),
+        camera_center=jnp.asarray([[960.0, 540.0]]),
+    )
+    want = np.asarray([[[960.0, 540.0], [1475 * 0.1 + 960, 1475 * 0.2 + 540]]])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+
+def test_perspective_projection_accepts_leading_singleton_center():
+    pts = jnp.ones((4, 7, 3)) * jnp.asarray([1.0, 1.0, 4.0])
+    c = jnp.broadcast_to(jnp.asarray([960.0, 540.0]), (4, 2))
+    a = perspective_projection(pts, jnp.eye(3)[None].repeat(4, 0), jnp.zeros((4, 3)), (100.0, 100.0), c)
+    b = perspective_projection(pts, jnp.eye(3)[None].repeat(4, 0), jnp.zeros((4, 3)), (100.0, 100.0), c[None])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_transform_smpl_roundtrip(rng):
+    R = random_rotmats(rng, 5).astype(np.float32)
+    t = rng.normal(size=(5, 3)).astype(np.float32)
+    T = np.concatenate([R, t[:, :, None]], axis=2)
+    verts = rng.normal(size=(5, 11, 3)).astype(np.float32)
+    joints = rng.normal(size=(5, 4, 3)).astype(np.float32)
+    orient = random_rotmats(rng, 5).astype(np.float32)
+    trans = rng.normal(size=(5, 3)).astype(np.float32)
+    v, j, o, tr = transform_smpl(
+        jnp.asarray(T), jnp.asarray(verts), jnp.asarray(joints), jnp.asarray(orient), jnp.asarray(trans)
+    )
+    # Invert.
+    Rinv = R.transpose(0, 2, 1)
+    tinv = -np.einsum("bij,bj->bi", Rinv, t)
+    Tinv = np.concatenate([Rinv, tinv[:, :, None]], axis=2)
+    v2, j2, o2, tr2 = transform_smpl(jnp.asarray(Tinv), v, j, o, tr)
+    np.testing.assert_allclose(np.asarray(v2), verts, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j2), joints, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o2), orient, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tr2), trans, atol=1e-4)
+
+
+def test_weak_cam_roundtrip():
+    intr = jnp.asarray(
+        [[[1475.0, 0, 960.0], [0, 1475.0, 540.0], [0, 0, 1.0]]]
+    ).repeat(3, 0)
+    pos = jnp.asarray([[0.5, -0.2, 8.0], [1.0, 1.0, 12.0], [0.0, 0.0, 5.0]])
+    wc = weak_cam_from_position(intr, pos)
+    back = weak_cam_to_trans(intr, wc)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(pos), rtol=1e-5)
+
+
+def test_triangulation_recovers_point(rng):
+    from scipy.spatial.transform import Rotation
+
+    p_world = np.asarray([0.3, -0.5, 2.0])
+    K = np.asarray([[[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]]] * 2)
+    extr = []
+    pts2d = []
+    for ang in (0.3, -0.4):
+        R = Rotation.from_euler("y", ang).as_matrix()
+        t = np.asarray([0.1 * ang, 0.0, 4.0])
+        cam_pt = R @ p_world + t
+        uv = (K[0] @ (cam_pt / cam_pt[2]))[:2]
+        extr.append(np.concatenate([R, t[:, None]], axis=1))
+        pts2d.append(uv)
+    x = lstsq_triangulation(
+        jnp.asarray(K, dtype=jnp.float32),
+        jnp.asarray(np.stack(extr), dtype=jnp.float32),
+        jnp.asarray(np.stack(pts2d), dtype=jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(x), p_world, atol=1e-3)
+
+
+def test_geman_mcclure_limits():
+    r = jnp.asarray([0.0, 1e6])
+    out = np.asarray(geman_mcclure(r, 30.0))
+    assert out[0] == 0.0
+    np.testing.assert_allclose(out[1], 900.0, rtol=1e-3)  # saturates at σ²
