@@ -1,0 +1,110 @@
+"""ResNet-50 feature trunk (flax.linen, NHWC, TPU dtype policy).
+
+Architecturally identical to the reference's redefined torchvision trunk
+(ref copenet/models/model_copenet.py:8-110,161-176: Bottleneck [3,4,6,3],
+7x7/2 stem, 3x3/2 maxpool, global average pool → 2048-d feature) so that
+ImageNet / reference checkpoints convert weight-for-weight, but laid out
+TPU-first: NHWC tensors, bf16 compute with f32 params/stats, and the GAP
+expressed as a spatial mean so XLA fuses it with the last block.
+"""
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch-style conv init: normal(0, sqrt(2 / fan_out)) — ref model_copenet.py:78-81.
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+class Bottleneck(nn.Module):
+    """1x1 → 3x3(stride) → 1x1(×4) with identity/projection shortcut."""
+
+    planes: int
+    stride: int = 1
+    project: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm,
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+        )
+        conv = partial(
+            nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_init
+        )
+        residual = x
+        y = conv(self.planes, (1, 1), name="conv1")(x)
+        y = norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = conv(
+            self.planes,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding=((1, 1), (1, 1)),
+            name="conv2",
+        )(y)
+        y = norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = conv(self.planes * 4, (1, 1), name="conv3")(y)
+        y = norm(name="bn3")(y)
+        if self.project:
+            residual = conv(
+                self.planes * 4,
+                (1, 1),
+                strides=(self.stride, self.stride),
+                name="downsample_conv",
+            )(x)
+            residual = norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet50(nn.Module):
+    """Input (B, 224, 224, 3) → (B, 2048) GAP feature."""
+
+    dtype: Any = jnp.float32
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            kernel_init=conv_init,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn1",
+        )(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage, (planes, blocks) in enumerate(
+            zip((64, 128, 256, 512), self.stage_sizes)
+        ):
+            for block in range(blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride,
+                    project=(block == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+
+        # Global average pool; the feature feeds the f32 IEF regressor.
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
