@@ -1,0 +1,151 @@
+"""Checkpointing: orbax save/restore with auto-resume, plus a converter
+from the reference's PyTorch-Lightning checkpoints.
+
+Replaces Lightning's ModelCheckpoint(val_loss, save_top_k=1, save_last=True)
++ resume-from-last (ref copenet/copenet_trainer.py:42-53) and the HTCondor
+deadline checkpoint-exit-resume cycle (ref copenet_trainer_cluster.py:44-60
+— see `train/elastic.py`).
+"""
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+
+class CheckpointManager:
+    """Thin orbax wrapper: keeps `best` (lowest val_loss) and `last`."""
+
+    def __init__(self, directory: str):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ckpt = ocp.StandardCheckpointer()
+        self.best_val = float("inf")
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.directory, name)
+
+    def save(self, state: TrainState, name: str = "last"):
+        path = self._path(name)
+        self._ckpt.save(path, jax.device_get(state), force=True)
+        self._ckpt.wait_until_finished()
+
+    def save_with_val(self, state: TrainState, val_loss: float):
+        self.save(state, "last")
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self.save(state, "best")
+
+    def restore(self, template: TrainState, name: str = "last") -> Optional[TrainState]:
+        path = self._path(name)
+        if not os.path.exists(path):
+            return None
+        return self._ckpt.restore(path, template)
+
+    def auto_resume(self, template: TrainState) -> TrainState:
+        """Resume from `last` if present, else return the fresh template —
+        the reference's resume_from_checkpoint behavior
+        (copenet_trainer.py:49-53)."""
+        restored = self.restore(template, "last")
+        return restored if restored is not None else template
+
+
+# ---------------------------------------------------------------------------
+# PyTorch → airpose_tpu weight conversion
+# ---------------------------------------------------------------------------
+
+def _np(t):
+    return t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+
+
+def convert_resnet_torch_to_flax(sd: Dict[str, Any], prefix: str = "") -> Dict:
+    """Map a torchvision-style ResNet-50 state dict (the reference trunk's
+    layout, ref model_copenet.py:53-110) onto the flax trunk's param /
+    batch_stats trees. ``prefix`` strips e.g. 'model.' from Lightning keys.
+
+    Returns {"params": {...}, "batch_stats": {...}} for the ResNet50 module.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv(key):
+        # torch OIHW → flax HWIO
+        return _np(sd[prefix + key]).transpose(2, 3, 1, 0)
+
+    def put_bn(dst_p, dst_s, key):
+        dst_p["scale"] = _np(sd[prefix + key + ".weight"])
+        dst_p["bias"] = _np(sd[prefix + key + ".bias"])
+        dst_s["mean"] = _np(sd[prefix + key + ".running_mean"])
+        dst_s["var"] = _np(sd[prefix + key + ".running_var"])
+
+    params["conv1"] = {"kernel": conv("conv1.weight")}
+    params["bn1"] = {}
+    stats["bn1"] = {}
+    put_bn(params["bn1"], stats["bn1"], "bn1")
+
+    blocks_per_stage = (3, 4, 6, 3)
+    for stage, n_blocks in enumerate(blocks_per_stage, start=1):
+        for b in range(n_blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = {"kernel": conv(f"{src}.conv{ci}.weight")}
+                p[f"bn{ci}"] = {}
+                s[f"bn{ci}"] = {}
+                put_bn(p[f"bn{ci}"], s[f"bn{ci}"], f"{src}.bn{ci}")
+            if prefix + f"{src}.downsample.0.weight" in sd:
+                # torch names: downsample.0 (conv), downsample.1 (bn)
+                p["downsample_conv"] = {"kernel": conv(f"{src}.downsample.0.weight")}
+                p["downsample_bn"] = {}
+                s["downsample_bn"] = {}
+                put_bn(p["downsample_bn"], s["downsample_bn"], f"{src}.downsample.1")
+            params[dst] = p
+            stats[dst] = s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_regressor_torch_to_flax(
+    sd: Dict[str, Any], head_names, prefix: str = ""
+) -> Dict:
+    """fc1/fc2 + dec heads: torch Linear (out, in) → flax Dense (in, out)."""
+    out: Dict[str, Any] = {}
+    for name in ("fc1", "fc2") + tuple(head_names):
+        out[name] = {
+            "kernel": _np(sd[prefix + name + ".weight"]).T,
+            "bias": _np(sd[prefix + name + ".bias"]),
+        }
+    return out
+
+
+def convert_reference_checkpoint(
+    torch_state_dict: Dict[str, Any],
+    model_name: str = "copenet_twoview",
+    lightning: bool = True,
+) -> Dict:
+    """Full conversion of a reference checkpoint's ``state_dict`` (Lightning
+    keys 'model.<...>') into this framework's variables for the matching
+    model family. Handles the shared-trunk families; the _sep family has
+    'model.copenet0./copenet1.' sub-prefixes."""
+    prefix = "model." if lightning else ""
+    head_names = {
+        "hmr": ("decpose", "decshape", "deccam"),
+        "muhmr": ("decpose", "decshape", "deccam"),
+        "copenet_singleview": ("decpose", "decshape"),
+        "copenet_twoview": ("decpose", "decshape"),
+    }[model_name]
+    # The reference singleview/twoview checkpoints still contain an unused
+    # deccam head — ignored here.
+    trunk = convert_resnet_torch_to_flax(torch_state_dict, prefix)
+    core = convert_regressor_torch_to_flax(torch_state_dict, head_names, prefix)
+    return {
+        "params": {"trunk": trunk["params"], "core": core},
+        "batch_stats": {"trunk": trunk["batch_stats"]},
+    }
+
+

@@ -1,0 +1,176 @@
+"""Jitted train/eval steps + data-parallel execution.
+
+Replaces the reference's LightningModule training_step/validation_step
+machinery (ref copenet/copenet_twoview.py:376-414) with pure jitted
+functions. Scaling is GSPMD data parallelism: the caller shards the batch
+over a ``("data",)`` mesh (parallel/mesh.py) and jit propagates — gradients
+psum over ICI, BatchNorm means become global automatically.
+"""
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..bodymodel.smplx import SMPLXParams
+from ..config import TrainConfig
+from . import losses as L
+from .state import TrainState
+
+
+def _input_trans(batch, cfg: TrainConfig, key):
+    """IEF translation initialization: fixed [0,0,10] or GT+noise, then
+    distance-scaled (ref copenet_twoview.py:180-203)."""
+    gt = batch["gt_trans"]
+    if cfg.smpltrans_noise_sigma is None:
+        t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 10.0], dtype=gt.dtype), gt.shape)
+    else:
+        t = gt + cfg.smpltrans_noise_sigma * jax.random.normal(key, gt.shape, gt.dtype)
+    return t * cfg.trans_scale
+
+
+def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx):
+    """Returns (train_step, eval_step) jitted functions for the flagship
+    AirPoseTwoView (or the _sep variant — same signature)."""
+
+    def forward(params, batch_stats, batch, in_trans, train, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = model.apply(
+                variables,
+                batch["images"],
+                batch["bb"],
+                in_trans,
+                iters=cfg.reg_iters,
+                train=True,
+                rngs={"dropout": dropout_key},
+                mutable=["batch_stats"],
+            )
+            return out, mutated["batch_stats"]
+        out = model.apply(
+            variables, batch["images"], batch["bb"], in_trans, iters=cfg.reg_iters
+        )
+        return out, batch_stats
+
+    def loss_from_out(out, batch):
+        return L.twoview_loss(
+            out.pose, out.betas, batch, smplx_params, cfg.loss, cfg.trans_scale
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        k_noise, k_drop = jax.random.split(key)
+        in_trans = _input_trans(batch, cfg, k_noise)
+
+        def loss_fn(params):
+            out, new_stats = forward(
+                params, state.batch_stats, batch, in_trans, True, k_drop
+            )
+            loss, metrics = loss_from_out(out, batch)
+            return loss, (metrics, new_stats)
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats,
+                opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        in_trans = _input_trans(batch, cfg, jax.random.PRNGKey(0))
+        out, _ = forward(state.params, state.batch_stats, batch, in_trans, False, None)
+        loss, metrics = loss_from_out(out, batch)
+
+        pose = out.pose
+        trans = pose[..., :3] / cfg.trans_scale
+        from ..geometry.rotations import rot6d_to_rotmat
+
+        B = pose.shape[0]
+        rotmat = rot6d_to_rotmat(pose[..., 3:].reshape(B, 2, 22, 6))
+        return metrics, {
+            "pred_trans": trans,
+            "pred_rotmat": rotmat,
+            "pred_betas": out.betas,
+        }
+
+    return train_step, eval_step
+
+
+def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: str):
+    """Train/eval steps for the single-view families ('hmr',
+    'copenet_singleview') and 'muhmr'. Shares the twoview batch layout
+    (view 0 used where single-view)."""
+
+    def apply_model(params, batch_stats, batch, in_trans, train, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(iters=cfg.reg_iters)
+        if train:
+            kwargs.update(train=True, rngs={"dropout": dropout_key}, mutable=["batch_stats"])
+        if family == "hmr":
+            args = (batch["images"][:, 0],)
+        elif family == "copenet_singleview":
+            args = (batch["images"][:, 0], batch["bb"][:, 0], in_trans[:, 0])
+        elif family == "muhmr":
+            args = (batch["images"],)
+        else:
+            raise ValueError(family)
+        res = model.apply(variables, *args, **kwargs)
+        if train:
+            return res[0], res[1]["batch_stats"]
+        return res, batch_stats
+
+    def loss_from_out(out, batch):
+        if family == "hmr":
+            return L.hmr_loss(
+                out.pose6d, out.betas, out.cam, batch, smplx_params, cfg.loss,
+                cfg.img_res,
+            )
+        if family == "copenet_singleview":
+            return L.singleview_loss(
+                out.pose, out.betas, batch, smplx_params, cfg.loss, cfg.trans_scale
+            )
+        return L.muhmr_loss(
+            out.pose6d, out.betas, out.cam, batch, smplx_params, cfg.loss,
+            cfg.img_res,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        k_noise, k_drop = jax.random.split(key)
+        in_trans = _input_trans(batch, cfg, k_noise)
+
+        def loss_fn(params):
+            out, new_stats = apply_model(
+                params, state.batch_stats, batch, in_trans, True, k_drop
+            )
+            loss, metrics = loss_from_out(out, batch)
+            return loss, (metrics, new_stats)
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_stats, opt_state=new_opt,
+            ),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        in_trans = _input_trans(batch, cfg, jax.random.PRNGKey(0))
+        out, _ = apply_model(state.params, state.batch_stats, batch, in_trans, False, None)
+        loss, metrics = loss_from_out(out, batch)
+        return metrics, out
+
+    return train_step, eval_step

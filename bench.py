@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: two-view AirPose perception throughput on one chip.
+
+Measures the full per-frame perception step a consumer of the framework
+runs: two-view ResNet-50 + 3-step IEF regression (bf16 trunk) + 6D→rotmat +
+full SMPL-X mesh forward + 2D projection, at batch 64.
+
+Prints ONE JSON line:
+  {"metric": "two_view_fps", "value": N, "unit": "frames/s",
+   "vs_baseline": N / 1000.0}
+vs_baseline is against the rebuild north star (≥1,000 two-view frames/s per
+chip, BASELINE.md); the reference's own end-to-end figure is 4 FPS.
+
+Timing notes (this environment): block_until_ready does not synchronize on
+the axon relay backend, so the timed region ends with a device→host
+transfer; the timing loop runs inside one jit with the image depending on
+the scan carry so XLA cannot hoist the trunk.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airpose_tpu import constants as C
+from airpose_tpu.bodymodel import smplx_forward, synthetic_smplx_params
+from airpose_tpu.geometry.rotations import rot6d_to_rotmat
+from airpose_tpu.models import AirPoseTwoView
+from airpose_tpu.train.losses import cam_frame_and_project
+
+B = 64
+N_ITERS = 30
+
+
+def main():
+    model = AirPoseTwoView(dtype=jnp.bfloat16)
+    smplx_params = synthetic_smplx_params()  # full-size 10475-vertex body
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, 2, 224, 224, 3)).astype(np.float32))
+    bb = jnp.zeros((B, 2, 3))
+    pos = jnp.full((B, 2, 3), 10.0 * C.TRANS_SCALE)
+    fx, fy = C.FOCAL_LENGTH
+    intr = jnp.broadcast_to(
+        jnp.asarray([[fx, 0, C.CX], [0, fy, C.CY], [0, 0, 1.0]]), (B, 2, 3, 3)
+    )
+
+    variables = model.init(jax.random.PRNGKey(0), x, bb, pos)
+
+    def perceive(v, images):
+        out = model.apply(v, images, bb, pos)
+        trans = out.pose[..., :3] / C.TRANS_SCALE
+        rotmat = rot6d_to_rotmat(out.pose[..., 3:].reshape(B, 2, 22, 6))
+        eye = jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3))
+        body = smplx_forward(
+            smplx_params,
+            out.betas.reshape(B * 2, 10),
+            body_pose=rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3),
+            global_orient=eye,
+        )
+        joints = body.joints.reshape(B, 2, -1, 3)
+        verts = body.vertices.reshape(B, 2, -1, 3)
+        _, j2d = cam_frame_and_project(
+            rotmat[:, :, 0], trans, joints, intr, C.FOCAL_LENGTH
+        )
+        return verts, j2d
+
+    @jax.jit
+    def chain(v, images):
+        def step(carry, _):
+            verts, j2d = perceive(v, images + carry * 1e-6)
+            return j2d.mean(), (verts.mean(), j2d.mean())
+        _, outs = jax.lax.scan(step, jnp.float32(0.0), None, length=N_ITERS)
+        return outs[0].sum() + outs[1].sum()
+
+    float(chain(variables, x))  # warmup/compile (transfer = sync barrier)
+    t0 = time.perf_counter()
+    result = float(chain(variables, x))
+    dt = (time.perf_counter() - t0) / N_ITERS
+    assert np.isfinite(result)
+
+    fps = B / dt
+    print(
+        json.dumps(
+            {
+                "metric": "two_view_fps",
+                "value": round(fps, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Checkpoint tests: orbax save/restore round-trip + torch→flax trunk
+conversion parity (flax ResNet-50 with converted weights must match a
+torch ResNet-50 forward on the same input)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as tnn
+
+from airpose_tpu.models.resnet import ResNet50
+from airpose_tpu.train.checkpoint import (
+    CheckpointManager,
+    convert_reference_checkpoint,
+    convert_resnet_torch_to_flax,
+)
+
+
+class TorchBottleneck(tnn.Module):
+    """Canonical torchvision bottleneck (public standard architecture)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + r)
+
+
+class TorchResNet50Trunk(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.layer1 = self._make(64, 3, 1)
+        self.layer2 = self._make(128, 4, 2)
+        self.layer3 = self._make(256, 6, 2)
+        self.layer4 = self._make(512, 3, 2)
+
+    def _make(self, planes, blocks, stride):
+        down = tnn.Sequential(
+            tnn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(planes * 4),
+        )
+        layers = [TorchBottleneck(self.inplanes, planes, stride, down)]
+        self.inplanes = planes * 4
+        layers += [TorchBottleneck(self.inplanes, planes) for _ in range(1, blocks)]
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        x = self.layer4(self.layer3(self.layer2(self.layer1(x))))
+        return x.mean(dim=(2, 3))
+
+
+@pytest.mark.slow
+def test_trunk_conversion_parity(rng):
+    torch.manual_seed(0)
+    tmodel = TorchResNet50Trunk().eval()
+    # randomize BN stats so the test is not trivially identity
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+    sd = tmodel.state_dict()
+    converted = convert_resnet_torch_to_flax(sd)
+
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    model = ResNet50()
+    got = model.apply(
+        {"params": converted["params"], "batch_stats": converted["batch_stats"]},
+        jnp.asarray(x),
+        train=False,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3, rtol=1e-3)
+
+
+def test_full_checkpoint_conversion_structure():
+    """Converted reference-style state dict must init-compatible with the
+    twoview model's variable tree."""
+    torch.manual_seed(1)
+    tmodel = TorchResNet50Trunk()
+    sd = {"model." + k: v for k, v in tmodel.state_dict().items()}
+    # add the regressor heads the twoview checkpoint carries
+    sd["model.fc1.weight"] = torch.randn(1024, 2332)
+    sd["model.fc1.bias"] = torch.randn(1024)
+    sd["model.fc2.weight"] = torch.randn(1024, 1024)
+    sd["model.fc2.bias"] = torch.randn(1024)
+    sd["model.decpose.weight"] = torch.randn(135, 1024)
+    sd["model.decpose.bias"] = torch.randn(135)
+    sd["model.decshape.weight"] = torch.randn(10, 1024)
+    sd["model.decshape.bias"] = torch.randn(10)
+
+    variables = convert_reference_checkpoint(sd, "copenet_twoview")
+
+    from airpose_tpu.models import AirPoseTwoView
+
+    model = AirPoseTwoView()
+    x = jnp.zeros((1, 2, 224, 224, 3))
+    ref = model.init(jax.random.PRNGKey(0), x, jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 3)))
+
+    def shapes(tree):
+        return jax.tree.map(lambda a: jnp.asarray(a).shape, tree)
+
+    assert shapes(ref["params"]) == shapes(variables["params"])
+    out = model.apply(
+        {"params": variables["params"],
+         "batch_stats": {**ref["batch_stats"], **jax.tree.map(jnp.asarray, variables["batch_stats"])}},
+        x, jnp.zeros((1, 2, 3)), jnp.zeros((1, 2, 3)),
+    )
+    assert np.isfinite(np.asarray(out.pose)).all()
+
+
+def test_orbax_roundtrip(tmp_path):
+    from airpose_tpu.train.state import TrainState
+
+    state = TrainState(
+        step=7,
+        params={"w": jnp.arange(6.0).reshape(2, 3)},
+        batch_stats={"m": jnp.ones((4,))},
+        opt_state={"v": jnp.zeros((2,))},
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    mgr.save_with_val(state, val_loss=1.0)
+    worse = state.replace(step=8, params={"w": jnp.zeros((2, 3))})
+    mgr.save_with_val(worse, val_loss=2.0)
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    last = mgr.restore(template, "last")
+    best = mgr.restore(template, "best")
+    assert int(last.step) == 8
+    assert int(best.step) == 7
+    np.testing.assert_array_equal(np.asarray(best.params["w"]), np.arange(6.0).reshape(2, 3))
+
+    resumed = mgr.auto_resume(template)
+    assert int(resumed.step) == 8
+
+
+def test_auto_resume_fresh_when_no_checkpoint(tmp_path):
+    from airpose_tpu.train.state import TrainState
+
+    state = TrainState(step=0, params={"w": jnp.ones(2)}, batch_stats={}, opt_state={})
+    mgr = CheckpointManager(str(tmp_path / "empty"))
+    out = mgr.auto_resume(state)
+    assert int(out.step) == 0
