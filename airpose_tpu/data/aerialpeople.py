@@ -1,0 +1,181 @@
+"""AerialPeople (synthetic AGORA-derived) dataset reader.
+
+On-disk format (ref copenet/dsets/aerialpeople.py:39-226): a
+``dataset/{train,test}_pkls.pkl`` list of per-sample pkl paths; each sample
+pkl holds camera intr/extr per view, cropped image paths, person bb, and
+SMPL-X GT (pose 63 aa, shape 10, gender, world-frame vertices/joints/orient/
+trans).
+
+TPU-first restructuring vs the reference loader:
+  * The per-sample **CPU SMPL-X forward** the reference runs inside every
+    DataLoader worker (aerialpeople.py:180-197 — SURVEY.md §3.1 flags it as
+    a major inefficiency) becomes a one-time vectorized device pass over the
+    whole split (`precompute_canonical_gt`), cached in memory.
+  * Images are decoded to fixed-size uint8 context buffers on the host;
+    jitter-crop/resize/normalize run on device (`pipeline.crop_resize_pad`).
+  * The random camera-order swap (aerialpeople.py:208-211) is a batched
+    view-axis flip.
+"""
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .. import constants as C
+from ..geometry.rotations import batch_rodrigues
+
+
+def load_split_list(datapath: str, split: str) -> List[str]:
+    path = os.path.join(datapath, "dataset", f"{split}_pkls.pkl")
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class AerialPeopleDataset:
+    """Host-side reader producing canonical-batch numpy arrays."""
+
+    def __init__(self, datapath: str, split: str = "train",
+                 context_size: int = 672):
+        self.datapath = datapath
+        self.files = load_split_list(datapath, split)
+        self.data_root = datapath
+        self.context_size = context_size
+        self._gt_cache: Optional[Dict[str, np.ndarray]] = None
+
+    def __len__(self):
+        return len(self.files)
+
+    def load_sample(self, idx: int) -> Dict:
+        with open(self.files[idx], "rb") as f:
+            return pickle.load(f)
+
+    def precompute_canonical_gt(self, smplx_params, genders_to_params=None,
+                                batch=256):
+        """One-time device pass: canonical (identity-root) gendered SMPL-X
+        vertices/joints for every sample. ``genders_to_params`` optionally
+        maps 'male'/'female'/'neutral' to separate SMPLXParams."""
+        import jax.numpy as jnp
+
+        from ..bodymodel.smplx import smplx_forward
+
+        n = len(self.files)
+        poses = np.zeros((n, 63), np.float32)
+        betas = np.zeros((n, 10), np.float32)
+        genders = []
+        for i in range(n):
+            db = self.load_sample(i)
+            poses[i] = np.asarray(db["smplpose"]).reshape(63)
+            betas[i] = np.asarray(db["smplshape"]).reshape(10)
+            genders.append(str(db.get("smplgender", "neutral")).lower())
+
+        verts_out, joints_out = [], []
+        for s in range(0, n, batch):
+            e = min(s + batch, n)
+            pose_rm = batch_rodrigues(jnp.asarray(poses[s:e]).reshape(-1, 21, 3))
+            params = smplx_params
+            if genders_to_params is not None:
+                # gendered splits processed per-majority; simple fallback:
+                params = genders_to_params.get(genders[s], smplx_params)
+            out = smplx_forward(
+                params,
+                jnp.asarray(betas[s:e]),
+                body_pose=pose_rm,
+                global_orient=jnp.broadcast_to(jnp.eye(3), (e - s, 1, 3, 3)),
+            )
+            verts_out.append(np.asarray(out.vertices))
+            joints_out.append(np.asarray(out.joints))
+        self._gt_cache = {
+            "pose_aa": poses,
+            "betas": betas,
+            "vertices": np.concatenate(verts_out),
+            "joints": np.concatenate(joints_out),
+        }
+        return self._gt_cache
+
+    def host_batch(self, indices, rng: np.random.Generator,
+                   swap_cams: bool = True, decode_images: bool = True) -> Dict:
+        """Assemble a host batch: fixed-size uint8 context windows + GT in
+        the canonical layout. Device-side ops finish preprocessing."""
+        import cv2
+
+        B = len(indices)
+        S = self.context_size
+        out = {
+            "context": np.zeros((B, 2, S, S, 3), np.uint8),
+            "context_extent": np.zeros((B, 2, 2), np.float32),
+            "context_origin": np.zeros((B, 2, 2), np.float32),
+            "person_box": np.zeros((B, 2, 4), np.float32),
+            "intr": np.zeros((B, 2, 3, 3), np.float32),
+            "extr": np.zeros((B, 2, 3, 4), np.float32),
+            "gt_trans": np.zeros((B, 2, 3), np.float32),
+            "gt_orient": np.zeros((B, 2, 3, 3), np.float32),
+            "gt_pose_rotmat": np.zeros((B, 21, 3, 3), np.float32),
+            "gt_betas": np.zeros((B, 10), np.float32),
+            "gt_j2d": np.zeros((B, 2, 24, 2), np.float32),
+        }
+        pose_rm_all = np.asarray(
+            batch_rodrigues(
+                np.stack(
+                    [self.load_sample(i)["smplpose"].reshape(21, 3) for i in indices]
+                )
+            )
+        )
+        for b, idx in enumerate(indices):
+            db = self.load_sample(idx)
+            order = (0, 1)
+            if swap_cams and rng.integers(2) == 1:
+                order = (1, 0)
+            out["gt_pose_rotmat"][b] = pose_rm_all[b]
+            out["gt_betas"][b] = db["smplshape"].reshape(10)
+            for v, cam in enumerate(order):
+                intr = np.asarray(db[f"cam{cam}"]["intr"], np.float32).reshape(3, 3)
+                extr = np.asarray(db[f"cam{cam}"]["extr"], np.float32)[:3, :4]
+                out["intr"][b, v] = intr
+                out["extr"][b, v] = extr
+                R, t = extr[:, :3], extr[:, 3]
+                orient_w = np.asarray(
+                    db["smplorient_rotmat_wrt_origin"], np.float32
+                ).reshape(3, 3)
+                trans_w = np.asarray(db["smpltrans"], np.float32).reshape(3)
+                out["gt_orient"][b, v] = R @ orient_w
+                out["gt_trans"][b, v] = R @ trans_w + t
+
+                joints_w = np.asarray(db["smpl_joints_wrt_origin"], np.float32
+                                      ).reshape(-1, 3)[:24]
+                cam_j = joints_w @ R.T + t
+                xy = cam_j[:, :2] / cam_j[:, 2:]
+                out["gt_j2d"][b, v] = xy * np.asarray(C.FOCAL_LENGTH) + intr[:2, 2]
+
+                # Person bb in frame coords; the stored image is the
+                # pre-cropped bb±200 window (clamped to the frame) — its
+                # origin in frame coords positions it in the context buffer.
+                bb = np.asarray(db[f"bb{cam}"], np.float32).reshape(2, 2)
+                ox = max(bb[0, 0] - 200.0, 0.0)
+                oy = max(bb[0, 1] - 200.0, 0.0)
+                out["context_origin"][b, v] = (ox, oy)
+                out["person_box"][b, v] = [
+                    bb[0, 0] - ox, bb[0, 1] - oy, bb[1, 0] - ox, bb[1, 1] - oy,
+                ]
+
+                if decode_images:
+                    img = cv2.imread(
+                        os.path.join(self.data_root, db[f"im{cam}"])
+                    )
+                    if img is not None:
+                        img = img[:, :, ::-1]
+                        h, w = img.shape[:2]
+                        out["context"][b, v, : min(h, S), : min(w, S)] = (
+                            img[:S, :S]
+                        )
+                        out["context_extent"][b, v] = (min(w, S), min(h, S))
+
+            if self._gt_cache is not None:
+                for key_src, key_dst in (("vertices", "gt_vertices"),
+                                         ("joints", "gt_joints")):
+                    if key_dst not in out:
+                        arr = self._gt_cache[key_src]
+                        out[key_dst] = np.zeros((B,) + arr.shape[1:], np.float32)
+                    out[key_dst][b] = self._gt_cache[key_src][idx]
+        return out

@@ -1,0 +1,193 @@
+"""Device-side input pipeline.
+
+The reference does per-sample cv2 crop/resize/normalize (and even a full
+SMPL-X forward) inside 8-30 DataLoader worker processes
+(ref copenet/dsets/aerialpeople.py:98-197, SURVEY.md §3.1 "process
+boundary #1"). TPU-first replacement:
+
+  host:    decode JPEG → fixed-size uint8 context windows (+ metadata)
+  device:  ONE jitted op per batch — random jitter-crop box, aspect-
+           preserving resize-with-pad to 224 (jax.image.scale_and_translate
+           with dynamic scale/translation), zero-pad masking, ImageNet
+           normalization — all fused by XLA, overlapped with the train step
+           by the double-buffering Prefetcher.
+
+Semantics replicate resize_with_pad + the bb encoding
+(ref utils/utils.py:214-235, dsets/aerialpeople.py:98-141):
+  bb = (crop_center / principal_point − 1, scale),  scale = 224/max(w, h),
+  pad is centered and constant-zero *before* normalization.
+(Interpolation is jax linear resize vs cv2 bilinear: not bit-identical;
+parity is defined on the deterministic eval path — SURVEY.md §7 risks.)
+"""
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+
+
+def crop_resize_pad(
+    images: jnp.ndarray,   # (B, H, W, 3) uint8 or f32 context windows
+    boxes: jnp.ndarray,    # (B, 4) [x0, y0, w, h] float, context coords
+    out_size: int = C.CROP_SIZE,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crop each box, aspect-preserving resize to out_size with centered
+    zero padding, ImageNet-normalize. Returns (out (B,S,S,3) f32, scale (B,))."""
+    imgs = images.astype(jnp.float32) / 255.0 if images.dtype == jnp.uint8 else images
+    B = imgs.shape[0]
+    x0, y0, w, h = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    scale = out_size / jnp.maximum(w, h)
+    # centered pad offsets in output space
+    ty = (out_size - scale * h) / 2.0
+    tx = (out_size - scale * w) / 2.0
+
+    def one(img, s, tx_, ty_, x0_, y0_):
+        return jax.image.scale_and_translate(
+            img,
+            (out_size, out_size, 3),
+            (0, 1, 2),
+            jnp.asarray([s, s, 1.0]),
+            jnp.asarray([ty_ - s * y0_, tx_ - s * x0_, 0.0]),
+            method="linear",
+            antialias=False,
+        )
+
+    out = jax.vmap(one)(imgs, scale, tx, ty, x0, y0)
+
+    # Zero out the padded border (the reference pads the materialized crop
+    # with zeros; sampling the context would leak pixels past the box).
+    yy = jnp.arange(out_size, dtype=jnp.float32)
+    in_y = (yy[None, :] >= ty[:, None] - 0.5) & (yy[None, :] < ty[:, None] + scale[:, None] * h[:, None] - 0.5)
+    in_x = (yy[None, :] >= tx[:, None] - 0.5) & (yy[None, :] < tx[:, None] + scale[:, None] * w[:, None] - 0.5)
+    mask = in_y[:, :, None] & in_x[:, None, :]
+    out = out * mask[..., None]
+
+    mean = jnp.asarray(C.IMG_NORM_MEAN)
+    std = jnp.asarray(C.IMG_NORM_STD)
+    return (out - mean) / std, scale
+
+
+def jitter_crop_boxes(
+    key,
+    person_box: jnp.ndarray,   # (B, 4) [xmin, ymin, xmax, ymax] person bb, context coords
+    context_extent: jnp.ndarray,  # (B, 2) [W, H] of valid context region
+    margin: float = 200.0,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Random jitter-crop like ref dsets/aerialpeople.py:98-127: window =
+    person bb ± margin clamped to the frame, each side then pulled in by a
+    uniform random offset within its slack. Returns (B, 4) [x0, y0, w, h]."""
+    xmin_p, ymin_p, xmax_p, ymax_p = (
+        person_box[:, 0], person_box[:, 1], person_box[:, 2], person_box[:, 3]
+    )
+    Wc, Hc = context_extent[:, 0], context_extent[:, 1]
+    xmin = jnp.maximum(xmin_p - margin, 0.0)
+    ymin = jnp.maximum(ymin_p - margin, 0.0)
+    xmax = jnp.minimum(xmax_p + margin, Wc)
+    ymax = jnp.minimum(ymax_p + margin, Hc)
+
+    if deterministic:
+        off = jnp.zeros((person_box.shape[0], 4))
+    else:
+        u = jax.random.uniform(key, (person_box.shape[0], 4))
+        off = u * jnp.stack(
+            [xmin_p - xmin, ymin_p - ymin, xmax - xmax_p, ymax - ymax_p], axis=1
+        )
+    x0 = xmin + off[:, 0]
+    y0 = ymin + off[:, 1]
+    x1 = xmax - off[:, 2]
+    y1 = ymax - off[:, 3]
+    return jnp.stack([x0, y0, x1 - x0, y1 - y0], axis=1)
+
+
+def bb_encoding(
+    boxes: jnp.ndarray,     # (B, 4) [x0, y0, w, h]
+    principal: jnp.ndarray, # (B, 2) (cx, cy)
+    scale: jnp.ndarray,     # (B,)
+) -> jnp.ndarray:
+    """(B, 3) network conditioning: normalized crop center + scale
+    (ref dsets/aerialpeople.py:134-135,200)."""
+    center = boxes[:, :2] + boxes[:, 2:] / 2.0
+    return jnp.concatenate([center / principal - 1.0, scale[:, None]], axis=1)
+
+
+class Prefetcher:
+    """Double-buffered host→device prefetch: loads/uploads batch k+1 while
+    the step for batch k runs. Replaces DataLoader pin_memory+workers
+    (ref copenet_twoview.py:427-443) for the device-transfer half."""
+
+    def __init__(self, iterator: Iterator, sharding=None, depth: int = 2):
+        self._it = iterator
+        self._sharding = sharding
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self._it:
+                if self._sharding is not None:
+                    batch = jax.tree.map(
+                        lambda x: jax.device_put(x, self._sharding), batch
+                    )
+                else:
+                    batch = jax.tree.map(jnp.asarray, batch)
+                self._q.put(batch)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item
+
+
+def finish_batch(
+    host_batch: Dict,
+    key,
+    deterministic: bool = False,
+    margin: float = 200.0,
+    out_size: int = C.CROP_SIZE,
+) -> Dict:
+    """Device-side completion of a host batch (jit-friendly): jitter-crop →
+    resize-with-pad → normalize, and compute the bb conditioning. Folds the
+    view axis into the batch for the image ops. Consumes the fields emitted
+    by the dataset readers (context, context_extent, context_origin,
+    person_box, intr) and returns the canonical train-batch layout."""
+    ctx = host_batch["context"]
+    B, V = ctx.shape[:2]
+    flat = lambda a: a.reshape((B * V,) + a.shape[2:])
+
+    boxes = jitter_crop_boxes(
+        key,
+        flat(jnp.asarray(host_batch["person_box"])),
+        flat(jnp.asarray(host_batch["context_extent"])),
+        margin=margin,
+        deterministic=deterministic,
+    )
+    images, scale = crop_resize_pad(flat(jnp.asarray(ctx)), boxes, out_size)
+
+    intr = jnp.asarray(host_batch["intr"])
+    principal = flat(intr[..., :2, 2])
+    origin = flat(jnp.asarray(host_batch["context_origin"]))
+    frame_boxes = boxes.at[:, :2].add(origin)
+    bb = bb_encoding(frame_boxes, principal, scale)
+
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in host_batch.items()
+        if k not in ("context", "context_extent", "context_origin", "person_box")
+    }
+    batch["images"] = images.reshape(B, V, out_size, out_size, 3)
+    batch["bb"] = bb.reshape(B, V, 3)
+    return batch

@@ -1,0 +1,263 @@
+"""Data-layer tests: device pipeline semantics vs a cv2/numpy reference
+implementation of resize_with_pad, jitter-box bounds, and end-to-end reads
+of fake on-disk datasets in both reference formats."""
+
+import json
+import os
+import pickle
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpose_tpu import constants as C
+from airpose_tpu.data.pipeline import (
+    bb_encoding,
+    crop_resize_pad,
+    finish_batch,
+    jitter_crop_boxes,
+    Prefetcher,
+)
+
+
+def reference_resize_with_pad(img, size=224):
+    """Independent numpy/cv2 transcription of the reference semantics
+    (utils/utils.py:214-235)."""
+    big = max(img.shape[0], img.shape[1])
+    scale = size / big
+    out = cv2.resize(img, (int(scale * img.shape[1]), int(scale * img.shape[0])))
+    pt = (size - out.shape[0]) // 2
+    pb = size - out.shape[0] - pt
+    pl = (size - out.shape[1]) // 2
+    pr = size - out.shape[1] - pl
+    return cv2.copyMakeBorder(out, pt, pb, pl, pr, cv2.BORDER_CONSTANT), scale
+
+
+def test_crop_resize_pad_matches_reference(rng):
+    # Smooth content: isolates layout/scale/pad correctness from bilinear
+    # implementation detail (cv2 truncates the target size to ints, which
+    # perturbs the effective scale — decorrelating high-frequency noise).
+    yy, xx = np.mgrid[0:180, 0:120]
+    img = np.stack([yy / 180, xx / 120, (yy + xx) / 300], -1)
+    img = (img * 255).astype(np.uint8)
+    want, scale = reference_resize_with_pad(img.astype(np.float64) / 255.0, 224)
+
+    got, got_scale = crop_resize_pad(
+        jnp.asarray(img)[None],
+        jnp.asarray([[0.0, 0.0, 120.0, 180.0]]),
+    )
+    got = np.asarray(got)[0] * np.asarray(C.IMG_NORM_STD) + np.asarray(C.IMG_NORM_MEAN)
+    assert abs(float(got_scale[0]) - scale) < 1e-5
+    # interpolation conventions differ slightly; compare loosely but
+    # meaningfully (same layout, same pad regions)
+    assert np.abs(got - want).mean() < 0.03
+    # pad columns must be exactly zero (pre-normalization)
+    pl = (224 - int(scale * 120)) // 2
+    np.testing.assert_allclose(got[:, : pl - 1], 0.0, atol=0.02)
+
+
+def test_jitter_boxes_stay_inside(rng):
+    person = jnp.asarray([[300.0, 200.0, 500.0, 600.0]] * 16)
+    extent = jnp.asarray([[640.0, 640.0]] * 16)
+    boxes = jitter_crop_boxes(jax.random.PRNGKey(0), person, extent, margin=200.0)
+    b = np.asarray(boxes)
+    assert (b[:, 0] >= 0).all() and (b[:, 1] >= 0).all()
+    assert (b[:, 0] + b[:, 2] <= 640.0 + 1e-3).all()
+    assert (b[:, 1] + b[:, 3] <= 640.0 + 1e-3).all()
+    # window always contains the person box
+    assert (b[:, 0] <= 300.0).all() and (b[:, 1] <= 200.0).all()
+    assert (b[:, 0] + b[:, 2] >= 500.0).all()
+    assert (b[:, 1] + b[:, 3] >= 600.0).all()
+    # deterministic mode = maximal window
+    det = np.asarray(
+        jitter_crop_boxes(jax.random.PRNGKey(0), person, extent, 200.0, True)
+    )
+    np.testing.assert_allclose(det[0], [100.0, 0.0, 540.0, 640.0])
+
+
+def test_bb_encoding():
+    boxes = jnp.asarray([[860.0, 440.0, 200.0, 200.0]])
+    principal = jnp.asarray([[960.0, 540.0]])
+    out = np.asarray(bb_encoding(boxes, principal, jnp.asarray([1.12])))
+    np.testing.assert_allclose(out, [[0.0, 0.0, 1.12]], atol=1e-6)
+
+
+def _write_fake_aerialpeople(root, smplx_params, n=3):
+    from airpose_tpu.bodymodel.smplx import smplx_forward
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(0)
+    os.makedirs(os.path.join(root, "dataset"), exist_ok=True)
+    os.makedirs(os.path.join(root, "pkls"), exist_ok=True)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    files = []
+    for i in range(n):
+        pose = (rng.normal(size=(63,)) * 0.2).astype(np.float32)
+        shape = rng.normal(size=(10,)).astype(np.float32) * 0.3
+        orient = np.asarray(
+            batch_rodrigues(jnp.asarray(rng.normal(size=(1, 3)) * 0.3, dtype=jnp.float32))
+        )[0]
+        trans = np.asarray([0.3, 0.1, 0.2], np.float32)
+        # Dataset convention (create_aerial_people_new.py): world = orient
+        # applied ABOUT THE ORIGIN to the canonical identity-root body, plus
+        # trans — matching how transform_smpl treats [orient|trans].
+        out = smplx_forward(
+            smplx_params,
+            jnp.asarray(shape)[None],
+            body_pose=batch_rodrigues(jnp.asarray(pose).reshape(1, 21, 3)),
+            global_orient=jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
+        )
+        sample = {
+            "smplpose": pose,
+            "smplshape": shape,
+            "smplgender": "male",
+            "smplorient_rotmat_wrt_origin": orient,
+            "smpltrans": trans,
+            "smpl_vertices_wrt_origin": np.asarray(out.vertices)[0] @ orient.T + trans,
+            "smpl_joints_wrt_origin": np.asarray(out.joints)[0] @ orient.T + trans,
+        }
+        for cam in (0, 1):
+            K = np.asarray(
+                [[C.FOCAL_LENGTH[0], 0, C.CX], [0, C.FOCAL_LENGTH[1], C.CY], [0, 0, 1]],
+                np.float32,
+            )
+            ang = 0.2 if cam == 0 else -0.3
+            R = cv2.Rodrigues(np.asarray([0.0, ang, 0.0]))[0].astype(np.float32)
+            t = np.asarray([0, 0, 8.0], np.float32)
+            sample[f"cam{cam}"] = {"intr": K, "extr": np.concatenate([R, t[:, None]], 1)}
+            j = sample["smpl_joints_wrt_origin"][:24] @ R.T + t
+            uv = j[:, :2] / j[:, 2:] * np.asarray(C.FOCAL_LENGTH) + K[:2, 2]
+            bbmin = uv.min(0) - 20
+            bbmax = uv.max(0) + 20
+            sample[f"bb{cam}"] = np.stack([bbmin, bbmax]).astype(np.float32)
+            img_name = f"imgs/{i}_{cam}.jpg"
+            # pre-cropped bb±200 window, like the _cropped dataset
+            x0 = max(int(bbmin[0] - 200), 0)
+            y0 = max(int(bbmin[1] - 200), 0)
+            x1 = min(int(bbmax[0] + 200), C.IMG_SIZE[0])
+            y1 = min(int(bbmax[1] + 200), C.IMG_SIZE[1])
+            crop = (rng.random((y1 - y0, x1 - x0, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(root, img_name), crop)
+            sample[f"im{cam}"] = img_name
+        path = os.path.join(root, "pkls", f"{i}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(sample, f)
+        files.append(path)
+    for split in ("train", "test"):
+        with open(os.path.join(root, "dataset", f"{split}_pkls.pkl"), "wb") as f:
+            pickle.dump(files, f)
+
+
+def test_aerialpeople_reader_end_to_end(tmp_path, rng):
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.data.aerialpeople import AerialPeopleDataset
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    _write_fake_aerialpeople(str(tmp_path), params, n=3)
+
+    ds = AerialPeopleDataset(str(tmp_path), "train")
+    assert len(ds) == 3
+    cache = ds.precompute_canonical_gt(params)
+    assert cache["vertices"].shape == (3, 99, 3)
+
+    hb = ds.host_batch([0, 1, 2], rng, swap_cams=False)
+    batch = finish_batch(hb, jax.random.PRNGKey(0))
+    assert batch["images"].shape == (3, 2, 224, 224, 3)
+    assert batch["bb"].shape == (3, 2, 3)
+    assert np.isfinite(np.asarray(batch["images"])).all()
+    # GT consistency: projecting canonical joints through gt orient/trans
+    # must reproduce gt_j2d
+    from airpose_tpu.train.losses import cam_frame_and_project
+
+    joints = jnp.asarray(cache["joints"][:3])
+    _, j2d = cam_frame_and_project(
+        jnp.asarray(hb["gt_orient"]),
+        jnp.asarray(hb["gt_trans"]),
+        jnp.broadcast_to(joints[:, None], (3, 2) + joints.shape[1:]),
+        jnp.asarray(hb["intr"]),
+        C.FOCAL_LENGTH,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j2d[:, :, :24]), hb["gt_j2d"], atol=0.3
+    )
+
+
+def _write_fake_real(root, n=4):
+    rng = np.random.default_rng(1)
+    for m in (1, 2):
+        os.makedirs(os.path.join(root, f"machine_{m}", "images"), exist_ok=True)
+        op, marker = {}, {}
+        ap = {}
+        for i in range(n):
+            key = f"{i:06d}"
+            kp25 = np.zeros((1, 25, 3), np.float32)
+            kp25[0, :, 0] = rng.uniform(800, 1100, 25)
+            kp25[0, :, 1] = rng.uniform(400, 700, 25)
+            kp25[0, :, 2] = 0.9
+            op[key] = {"pose": kp25}
+            kp18 = np.zeros((18, 3), np.float32)
+            kp18[:, 0] = kp25[0, :18, 0] + rng.normal(0, 3, 18)
+            kp18[:, 1] = kp25[0, :18, 1] + rng.normal(0, 3, 18)
+            kp18[:, 2] = 0.8
+            ap[key] = {"people": [{"pose_keypoints_2d": kp18.reshape(-1).tolist()}]}
+            marker[key] = {
+                "0": {
+                    "rvec": rng.normal(0, 0.1, 3).astype(np.float64),
+                    "tvec": np.asarray([0.1 * m, 0.0, 2.0]),
+                }
+            }
+            img = (rng.random((1080 // 4, 1920 // 4, 3)) * 255).astype(np.uint8)
+            img = cv2.resize(img, (1920, 1080))
+            cv2.imwrite(os.path.join(root, f"machine_{m}", "images", f"{key}.jpg"), img)
+        with open(os.path.join(root, f"machine_{m}", "openpose_res.pkl"), "wb") as f:
+            pickle.dump(op, f)
+        with open(os.path.join(root, f"machine_{m}", "alphapose_res.json"), "w") as f:
+            json.dump(ap, f)
+        with open(
+            os.path.join(root, f"machine_{m}", "markerposes_corrected_all.pkl"), "wb"
+        ) as f:
+            pickle.dump(marker, f)
+        K = np.asarray([[1537.0, 0, 960], [0, 1517.0, 540], [0, 0, 1]])
+        fs = cv2.FileStorage(
+            os.path.join(root, f"machine_{m}", "camera_calib.yml"),
+            cv2.FILE_STORAGE_WRITE,
+        )
+        fs.write("K", K)
+        fs.release()
+
+
+def test_real_reader_end_to_end(tmp_path, rng):
+    from airpose_tpu.data.real import CopenetRealDataset
+
+    _write_fake_real(str(tmp_path), n=4)
+    ds = CopenetRealDataset(str(tmp_path), frame_range=range(0, 4))
+    assert len(ds) == 4
+    # agreement gating kept confident joints (detectors agree within 3px)
+    assert (ds.opose[..., 2] > 0).sum() > 0
+
+    hb = ds.host_batch([0, 1], rng)
+    batch = finish_batch(hb, jax.random.PRNGKey(0), deterministic=True, margin=0.0)
+    assert batch["images"].shape == (2, 2, 224, 224, 3)
+    assert batch["gt_j2d_conf"].shape == (2, 2, 24, 3)
+    assert np.isfinite(np.asarray(batch["images"])).all()
+
+
+def test_real_reader_gating(tmp_path, rng):
+    from airpose_tpu.data.real import CopenetRealDataset
+
+    _write_fake_real(str(tmp_path), n=4)
+    strict = CopenetRealDataset(
+        str(tmp_path), frame_range=range(0, 4), kp_agrmnt_threshold=0.001
+    )
+    # with an impossible agreement threshold every mapped joint is zeroed
+    assert (strict.opose[..., 2] == 0).all()
+
+
+def test_prefetcher_orders_and_terminates():
+    batches = [{"x": np.full((2,), i)} for i in range(5)]
+    out = list(Prefetcher(iter(batches)))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert int(np.asarray(b["x"])[0]) == i
