@@ -1,0 +1,17 @@
+from .bundle_adjust import (
+    BAConfig,
+    BAState,
+    bundle_adjust,
+    export_results,
+    init_from_predictions,
+    joints_only_forward,
+)
+
+__all__ = [
+    "BAConfig",
+    "BAState",
+    "bundle_adjust",
+    "export_results",
+    "init_from_predictions",
+    "joints_only_forward",
+]

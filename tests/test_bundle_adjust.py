@@ -1,0 +1,115 @@
+"""AirPose+ tests: joints-only forward matches the full forward; the
+optimizer recovers a known body from synthetic 2D observations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpose_tpu.bodymodel import (
+    init_vposer_params,
+    smplx_forward,
+    synthetic_smplx_params,
+    vposer_decode,
+)
+from airpose_tpu.geometry.rotations import batch_rodrigues, rotmat_to_rot6d
+from airpose_tpu.optim import (
+    BAConfig,
+    BAState,
+    bundle_adjust,
+    export_results,
+    init_from_predictions,
+    joints_only_forward,
+)
+
+
+@pytest.fixture(scope="module")
+def models():
+    return synthetic_smplx_params(num_vertices=150, seed=7), init_vposer_params(0)
+
+
+def test_joints_only_matches_full_forward(models, rng):
+    smplx_params, _ = models
+    B = 3
+    aa = (rng.normal(size=(B, 21, 3)) * 0.3).astype(np.float32)
+    body = batch_rodrigues(jnp.asarray(aa))
+    betas = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32) * 0.3)
+    full = smplx_forward(
+        smplx_params, betas, body_pose=body,
+        global_orient=jnp.broadcast_to(jnp.eye(3), (B, 1, 3, 3)),
+    )
+    jo = joints_only_forward(smplx_params, betas, body)
+    np.testing.assert_allclose(
+        np.asarray(jo), np.asarray(full.joints[:, :55]), atol=1e-5
+    )
+
+
+def _make_problem(models, rng, N=12):
+    """Ground truth body seen by two cameras; keypoints = exact projections
+    with confidence 1."""
+    smplx_params, vposer_params = models
+    z_true = jnp.asarray(rng.normal(size=(N, 32)).astype(np.float32) * 0.3)
+    theta = vposer_decode(vposer_params, z_true)["pose_body_matrot"]
+    joints = joints_only_forward(
+        smplx_params, jnp.zeros((N, 10)), theta
+    )[:, :24]
+
+    from scipy.spatial.transform import Rotation
+    phi_rm = np.stack([
+        np.stack([Rotation.from_euler("y", 0.1 * v + 0.02 * n).as_matrix()
+                  for v in (0, 1)]) for n in range(N)
+    ]).astype(np.float32)
+    tau = np.tile(np.asarray([[0.0, 0.0, 6.0]], np.float32), (N, 2, 1))
+    tau[:, 1, 0] = 0.5
+    intr = np.asarray(
+        [[[1475.0, 0, 960], [0, 1475.0, 540], [0, 0, 1]]] * 2, np.float32
+    )
+
+    cam_j = np.einsum("nvij,nkj->nvki", phi_rm, np.asarray(joints)) + tau[:, :, None]
+    xy = cam_j[..., :2] / cam_j[..., 2:]
+    f = np.asarray([1475.0, 1475.0])
+    uv = xy * f + intr[0, :2, 2]
+    kp = np.concatenate([uv, np.ones((N, 2, 24, 1), np.float32)], axis=-1)
+    return z_true, jnp.asarray(phi_rm), jnp.asarray(tau), jnp.asarray(intr), jnp.asarray(kp)
+
+
+def test_bundle_adjust_reduces_reprojection_error(models, rng):
+    smplx_params, vposer_params = models
+    z_true, phi_rm, tau, intr, kp = _make_problem(models, rng)
+    N = kp.shape[0]
+
+    # Perturbed init.
+    init = BAState(
+        z=z_true + 0.3 * jnp.asarray(rng.normal(size=z_true.shape).astype(np.float32)),
+        phi=rotmat_to_rot6d(phi_rm) + 0.05 * jnp.asarray(
+            rng.normal(size=(N, 2, 6)).astype(np.float32)),
+        tau=tau + 0.2 * jnp.asarray(rng.normal(size=tau.shape).astype(np.float32)),
+        beta=jnp.zeros(10),
+    )
+    cfg = BAConfig(iters_stage1=30, iters_stage2=60, w_beta=1.0)
+    state, info = bundle_adjust(
+        smplx_params, vposer_params, init, kp, kp, intr, cfg
+    )
+    trace = info["trace"]
+    assert np.isfinite(trace).all()
+    assert trace[-1] < trace[0] * 0.5, (trace[0], trace[-1])
+
+    out = export_results(smplx_params, vposer_params, state)
+    assert out["verts0"].shape == (N, 150, 3)
+    assert out["cam1_wrt_cam0"].shape == (N, 4, 4)
+    # bottom row of the relative transform stays [0,0,0,1]
+    np.testing.assert_allclose(
+        out["cam1_wrt_cam0"][:, 3], np.tile([0, 0, 0, 1.0], (N, 1)), atol=1e-5
+    )
+
+
+def test_init_from_predictions_shapes(models, rng):
+    _, vposer_params = models
+    N = 5
+    aa = jnp.asarray(rng.normal(size=(N, 2, 22, 3)).astype(np.float32) * 0.2)
+    trans = jnp.asarray(rng.normal(size=(N, 2, 3)).astype(np.float32))
+    st = init_from_predictions(vposer_params, aa, trans)
+    assert st.z.shape == (N, 32)
+    assert st.phi.shape == (N, 2, 6)
+    assert st.tau.shape == (N, 2, 3)
+    assert st.beta.shape == (10,)
