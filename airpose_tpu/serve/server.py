@@ -1,0 +1,201 @@
+"""Per-drone inference server with the 3-round synchronization protocol.
+
+Replaces the reference's airpose_server/server.py + ROS step topics
+(missing aircap submodule; behavior from README — SURVEY.md §2.8/§3.5):
+each drone runs one server; a client (the C++ airpose_client under
+native/, or any speaker of serve/protocol.py) streams cropped images in;
+the two servers exchange step1/step2 messages directly over TCP and return
+the 145-float step3 result to their client. The reference demo runs the
+same topology on localhost at 4 FPS.
+
+Usage:
+  python -m airpose_tpu.serve.server --port 9901 --peer-port 9902 \
+      --robot-id 1 [--ckpt path.orbax] [--random-init]
+
+The peer link is symmetric: the lower robot-id dials, the higher listens
+(both servers accept either clients or the peer on their main port; the
+first message on a connection tags its role).
+"""
+
+import argparse
+import asyncio
+from typing import Optional
+
+import numpy as np
+
+from .. import constants as C
+from . import protocol as P
+from .staged import StagedRegressor, state_to_wire, wire_to_peer
+
+
+def _normalize(img_u8: np.ndarray) -> np.ndarray:
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
+
+
+class AirPoseServer:
+    def __init__(self, regressor: StagedRegressor, robot_id: int):
+        self.reg = regressor
+        self.robot_id = robot_id
+        self.peer_writer: Optional[asyncio.StreamWriter] = None
+        self._peer_msgs: dict = {}
+        self._events: dict = {}
+        self._lock = asyncio.Lock()
+
+    # ---- peer message bookkeeping ----
+
+    def _note_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
+        self._peer_msgs[(msg_type, frame_id)] = data
+        self._events.setdefault((msg_type, frame_id), asyncio.Event()).set()
+
+    async def _wait_peer(self, msg_type: int, frame_id: int, timeout: float = 10.0):
+        key = (msg_type, frame_id)
+        if key not in self._peer_msgs:
+            ev = self._events.setdefault(key, asyncio.Event())
+            await asyncio.wait_for(ev.wait(), timeout)
+        self._events.pop(key, None)
+        return self._peer_msgs.pop(key)
+
+    async def _send_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
+        # The peer link may come up after the first client frame arrives
+        # (the higher-id server learns it from the dialer's HELLO).
+        for _ in range(100):
+            if self.peer_writer is not None:
+                break
+            await asyncio.sleep(0.1)
+        if self.peer_writer is None:
+            raise RuntimeError("peer not connected")
+        self.peer_writer.write(P.encode_step(msg_type, frame_id, data))
+        await self.peer_writer.drain()
+
+    # ---- connection handlers ----
+
+    async def peer_loop(self, reader, writer, first=None):
+        self.peer_writer = writer
+        msg = first
+        while True:
+            if msg is not None:
+                msg_type, payload = msg
+                if msg_type in (P.MSG_STEP1, P.MSG_STEP2):
+                    self._note_peer(msg_type, *P.decode_step(payload))
+            msg = await P.read_message(reader)
+            if msg is None:
+                break
+
+    async def client_loop(self, reader, writer, first=None):
+        msg = first
+        while True:
+            if msg is not None:
+                msg_type, payload = msg
+                if msg_type == P.MSG_IMAGE:
+                    await self._process_frame(writer, payload)
+            msg = await P.read_message(reader)
+            if msg is None:
+                break
+
+    async def _process_frame(self, writer, payload: bytes):
+        """The 3-round protocol for one frame (SURVEY.md §3.5)."""
+        _, frame_id, bb, init_trans, img = P.decode_image(payload)
+
+        # Round 1: trunk + IEF iter 1 (mean peer), publish step1.
+        async with self._lock:
+            state = self.reg.step1(_normalize(img)[None], bb[None], init_trans[None])
+        await self._send_peer(P.MSG_STEP1, frame_id, state_to_wire(state))
+
+        # Round 2: peer step1 → iter 2, publish step2.
+        art, shape = wire_to_peer(await self._wait_peer(P.MSG_STEP1, frame_id))
+        async with self._lock:
+            state = self.reg.step23(state, bb[None], art[None], shape[None])
+        await self._send_peer(P.MSG_STEP2, frame_id, state_to_wire(state))
+
+        # Round 3: peer step2 → iter 3, return the 145-float result.
+        art, shape = wire_to_peer(await self._wait_peer(P.MSG_STEP2, frame_id))
+        async with self._lock:
+            state = self.reg.step23(state, bb[None], art[None], shape[None])
+        writer.write(P.encode_step(P.MSG_RESULT, frame_id, state_to_wire(state)))
+        await writer.drain()
+
+
+async def run_server(
+    regressor: StagedRegressor,
+    robot_id: int,
+    port: int,
+    peer_host: str = "127.0.0.1",
+    peer_port: int = 0,
+    ready_event: Optional[asyncio.Event] = None,
+):
+    server = AirPoseServer(regressor, robot_id)
+
+    async def on_connect(reader, writer):
+        msg = await P.read_message(reader)
+        if msg is None:
+            return
+        if msg[0] == P.MSG_IMAGE:
+            await server.client_loop(reader, writer, first=msg)
+        else:  # HELLO or a step message: the peer link
+            await server.peer_loop(reader, writer, first=msg)
+
+    tcp = await asyncio.start_server(on_connect, "127.0.0.1", port)
+
+    if peer_port and robot_id <= 1:  # lower id dials the peer
+        for _ in range(200):
+            try:
+                reader, writer = await asyncio.open_connection(peer_host, peer_port)
+                server.peer_writer = writer
+                import struct as _struct
+                writer.write(P.frame(P.MSG_HELLO, _struct.pack("<I", robot_id)))
+                await writer.drain()
+                asyncio.ensure_future(server.peer_loop(reader, writer))
+                break
+            except OSError:
+                await asyncio.sleep(0.1)
+
+    if ready_event is not None:
+        ready_event.set()
+    async with tcp:
+        await tcp.serve_forever()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--port", type=int, required=True)
+    parser.add_argument("--peer-host", default="127.0.0.1")
+    parser.add_argument("--peer-port", type=int, default=0)
+    parser.add_argument("--robot-id", type=int, required=True)
+    parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--random-init", action="store_true",
+                        help="serve random weights (protocol testing)")
+    parser.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                        help="force a JAX platform (cpu: e.g. when two "
+                        "server processes share a host with one TPU)")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..models import AirPoseTwoView
+
+    model = AirPoseTwoView()
+    x = jnp.zeros((1, 2, 224, 224, 3))
+    variables = model.init(
+        jax.random.PRNGKey(0), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
+    )
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+
+        variables = ocp.StandardCheckpointer().restore(args.ckpt, variables)
+    elif not args.random_init:
+        parser.error("provide --ckpt or --random-init")
+
+    reg = StagedRegressor(variables)
+    asyncio.run(
+        run_server(reg, args.robot_id, args.port, args.peer_host, args.peer_port)
+    )
+
+
+if __name__ == "__main__":
+    main()

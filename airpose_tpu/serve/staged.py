@@ -1,0 +1,114 @@
+"""Staged single-view inference for the 3-step protocol.
+
+The fused two-view forward's IEF loop (models/airpose.py) factors into
+three per-drone steps whose cross-view inputs arrive over the network
+(SURVEY.md §2.8):
+
+  step1: trunk features + IEF iter 1, peer state = mean params
+  step2: IEF iter 2 with the peer's step-1 state
+  step3: IEF iter 3 with the peer's step-2 state  → final result
+
+With both peers' messages from the same frame, step1..3 here reproduce the
+fused 3-iter forward bit-for-bit (tests/test_models.py proves the identity
+on the regress_step primitive). In flight the peer message lags a round —
+the staged path is then deliberately *not* identical on moving subjects
+(SURVEY.md §7 risks: document, don't "fix").
+"""
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import constants as C
+from ..models.airpose import AirPoseTwoView, mean_init_state
+from .protocol import pack_params, unpack_params
+
+
+class ViewState(NamedTuple):
+    pose: np.ndarray   # (B, 135) [trans*scale | 6D×22]
+    shape: np.ndarray  # (B, 10)
+    xf: np.ndarray     # (B, 2048) trunk features (kept between steps)
+
+
+def state_to_wire(state: ViewState, i: int = 0) -> np.ndarray:
+    """ViewState row → 145-float message (β, scaled trans, 6D pose)."""
+    return pack_params(
+        np.asarray(state.shape[i]),
+        np.asarray(state.pose[i, :3]) / C.TRANS_SCALE,
+        np.asarray(state.pose[i, 3:]),
+    )
+
+
+def wire_to_peer(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """145-float peer message → (art_pose (126,), shape (10,)) — the two
+    tensors the regressor conditions on from the other view."""
+    betas, _, pose6d = unpack_params(data)
+    return pose6d[6:], betas
+
+
+class StagedRegressor:
+    """Jitted step1/2/3 over shared AirPoseTwoView weights."""
+
+    def __init__(self, variables, iters: int = C.NUM_ITERS, dtype=jnp.float32):
+        self.model = AirPoseTwoView(iters=iters, dtype=dtype)
+        self.variables = variables
+        mean_pose, mean_shape, _ = mean_init_state((1,))
+        self._mean_art = np.asarray(mean_pose)[:, 6:]
+        self._mean_shape = np.asarray(mean_shape)
+
+        model = self.model
+
+        @jax.jit
+        def _features(variables, image):
+            return model.apply(
+                variables, image, method=AirPoseTwoView.extract_features
+            )
+
+        @jax.jit
+        def _reg(variables, xf, bb, pose, shape, peer_art, peer_shape):
+            return model.apply(
+                variables, xf, bb, pose, shape, peer_art, peer_shape,
+                method=AirPoseTwoView.regress_step,
+            )
+
+        self._features = _features
+        self._reg = _reg
+
+    def step1(self, image: np.ndarray, bb: np.ndarray,
+              init_trans: np.ndarray) -> ViewState:
+        """image (B,224,224,3) normalized f32, bb (B,3), init_trans (B,3)
+        unscaled. Runs trunk + IEF iter 1 against mean peer state."""
+        B = image.shape[0]
+        xf = self._features(self.variables, jnp.asarray(image))
+        mean_pose, mean_shape, _ = mean_init_state((B,))
+        pose = jnp.concatenate(
+            [jnp.asarray(init_trans) * C.TRANS_SCALE, mean_pose], axis=-1
+        )
+        peer_art = jnp.broadcast_to(jnp.asarray(self._mean_art), (B, 126))
+        peer_shape = jnp.broadcast_to(jnp.asarray(self._mean_shape), (B, 10))
+        new_pose, new_shape = self._reg(
+            self.variables, xf, jnp.asarray(bb), pose, mean_shape,
+            peer_art, peer_shape,
+        )
+        return ViewState(
+            pose=np.asarray(new_pose), shape=np.asarray(new_shape),
+            xf=np.asarray(xf),
+        )
+
+    def step23(self, state: ViewState, bb: np.ndarray,
+               peer_art: np.ndarray, peer_shape: np.ndarray) -> ViewState:
+        """One further IEF iteration with an explicit peer state (used for
+        both step2 and step3)."""
+        B = state.pose.shape[0]
+        new_pose, new_shape = self._reg(
+            self.variables,
+            jnp.asarray(state.xf), jnp.asarray(bb),
+            jnp.asarray(state.pose), jnp.asarray(state.shape),
+            jnp.broadcast_to(jnp.asarray(peer_art, jnp.float32), (B, 126)),
+            jnp.broadcast_to(jnp.asarray(peer_shape, jnp.float32), (B, 10)),
+        )
+        return ViewState(
+            pose=np.asarray(new_pose), shape=np.asarray(new_shape), xf=state.xf
+        )

@@ -1,0 +1,140 @@
+// airpose_client — drone-side TCP client for the AirPose inference server.
+//
+// Native replacement for the reference's aircap airpose_client ROS node
+// (missing submodule; README: crops the person via the NeuralNetworkFeedback
+// ROI, streams to the per-drone server, republishes step results). This
+// standalone build has a deterministic fake-image mode so the two-drone
+// 3-round synchronization is testable without ROS or cameras (the
+// reference's own demo replays rosbags on localhost) and can be wired to a
+// real image source via stdin raw-RGB mode.
+//
+// Usage:
+//   airpose_client --host 127.0.0.1 --port 9901 --robot-id 1 \
+//       --frames 8 --fps 4 [--mode fake|stdin] [--size 224]
+//
+// Output: one line per frame
+//   RESULT frame=<id> latency_ms=<t> beta0=<v> trans=<x,y,z> pose0=<6 floats>
+
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include "../protocol/airpose_protocol.hpp"
+
+namespace {
+
+struct Options {
+  std::string host = "127.0.0.1";
+  int port = 9901;
+  uint32_t robot_id = 1;
+  int frames = 4;
+  double fps = 4.0;
+  int size = 224;
+  std::string mode = "fake";
+};
+
+Options parse(int argc, char** argv) {
+  Options o;
+  for (int i = 1; i < argc; ++i) {
+    std::string a = argv[i];
+    auto next = [&]() -> std::string {
+      if (i + 1 >= argc) {
+        std::fprintf(stderr, "missing value for %s\n", a.c_str());
+        std::exit(2);
+      }
+      return argv[++i];
+    };
+    if (a == "--host") o.host = next();
+    else if (a == "--port") o.port = std::atoi(next().c_str());
+    else if (a == "--robot-id") o.robot_id = std::atoi(next().c_str());
+    else if (a == "--frames") o.frames = std::atoi(next().c_str());
+    else if (a == "--fps") o.fps = std::atof(next().c_str());
+    else if (a == "--size") o.size = std::atoi(next().c_str());
+    else if (a == "--mode") o.mode = next();
+    else {
+      std::fprintf(stderr, "unknown arg %s\n", a.c_str());
+      std::exit(2);
+    }
+  }
+  return o;
+}
+
+// Deterministic synthetic frame: robot/frame-seeded gradient + blob.
+void fake_frame(uint32_t robot_id, uint32_t frame_id, int size,
+                std::vector<uint8_t>& rgb) {
+  rgb.resize(size_t(size) * size * 3);
+  const int cx = (17 * (frame_id + 3 * robot_id)) % size;
+  const int cy = (29 * (frame_id + 5 * robot_id)) % size;
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      size_t i = (size_t(y) * size + x) * 3;
+      int dx = x - cx, dy = y - cy;
+      int blob = 255 - std::min(255, (dx * dx + dy * dy) / 8);
+      rgb[i + 0] = static_cast<uint8_t>((x * 255) / size);
+      rgb[i + 1] = static_cast<uint8_t>((y * 255) / size);
+      rgb[i + 2] = static_cast<uint8_t>(blob);
+    }
+  }
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  Options o = parse(argc, argv);
+  try {
+    airpose::Connection conn(o.host, o.port);
+    std::vector<uint8_t> rgb;
+    const float bb[3] = {0.0f, 0.0f, 1.0f};
+    const float init_trans[3] = {0.0f, 0.0f, 10.0f};
+    const auto period =
+        std::chrono::duration<double>(o.fps > 0 ? 1.0 / o.fps : 0.0);
+
+    for (int f = 0; f < o.frames; ++f) {
+      if (o.mode == "stdin") {
+        rgb.resize(size_t(o.size) * o.size * 3);
+        if (std::fread(rgb.data(), 1, rgb.size(), stdin) != rgb.size()) {
+          std::fprintf(stderr, "stdin frame %d truncated\n", f);
+          return 1;
+        }
+      } else {
+        fake_frame(o.robot_id, f, o.size, rgb);
+      }
+
+      auto t0 = std::chrono::steady_clock::now();
+      conn.send(airpose::encode_image(o.robot_id, f, bb, init_trans, o.size,
+                                      o.size, rgb.data()));
+      airpose::Message msg = conn.recv_message();
+      auto t1 = std::chrono::steady_clock::now();
+      if (msg.type != airpose::kResult) {
+        std::fprintf(stderr, "unexpected message type %d\n", msg.type);
+        return 1;
+      }
+      airpose::StepData step = airpose::decode_step(msg.payload);
+      float trans[3];
+      step.translation(trans);
+      double ms =
+          std::chrono::duration<double, std::milli>(t1 - t0).count();
+      std::printf(
+          "RESULT frame=%u latency_ms=%.1f beta0=%.4f trans=%.3f,%.3f,%.3f "
+          "pose0=%.3f,%.3f,%.3f,%.3f,%.3f,%.3f\n",
+          step.frame_id, ms, step.betas()[0], trans[0], trans[1], trans[2],
+          step.pose6d()[0], step.pose6d()[1], step.pose6d()[2],
+          step.pose6d()[3], step.pose6d()[4], step.pose6d()[5]);
+      std::fflush(stdout);
+
+      if (f + 1 < o.frames && period.count() > 0) {
+        auto elapsed = std::chrono::steady_clock::now() - t0;
+        if (elapsed < period)
+          std::this_thread::sleep_for(period - elapsed);
+      }
+    }
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "airpose_client: %s\n", e.what());
+    return 1;
+  }
+  return 0;
+}

@@ -1,0 +1,153 @@
+"""Serving tests: wire-format round trips, staged-vs-fused numeric parity
+through the protocol layer, and the benchtest equivalent — two server
+processes on localhost exchanging the 3-round protocol (SURVEY.md §4.5)."""
+
+import asyncio
+import socket
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpose_tpu import constants as C
+from airpose_tpu.models import AirPoseTwoView, mean_init_state
+from airpose_tpu.serve import protocol as P
+from airpose_tpu.serve.staged import StagedRegressor, state_to_wire, wire_to_peer
+
+
+def test_params_wire_roundtrip(rng):
+    betas = rng.normal(size=(10,)).astype(np.float32)
+    trans = np.asarray([0.4, -0.2, 9.0], np.float32)
+    pose = rng.normal(size=(132,)).astype(np.float32)
+    data = P.pack_params(betas, trans, pose)
+    assert data.shape == (145,)
+    b2, t2, p2 = P.unpack_params(data)
+    np.testing.assert_allclose(b2, betas)
+    np.testing.assert_allclose(t2, trans, rtol=1e-6)
+    np.testing.assert_allclose(p2, pose)
+    # scaled translation on the wire (reference wire format)
+    np.testing.assert_allclose(data[10:13], trans * C.TRANS_SCALE, rtol=1e-6)
+
+
+def test_image_message_roundtrip(rng):
+    img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
+    raw = P.encode_image(1, 42, np.asarray([0.1, 0.2, 1.5]), np.asarray([0, 0, 10.0]), img)
+    magic_len = 9
+    robot, frame, bb, init_trans, img2 = P.decode_image(raw[magic_len:])
+    assert (robot, frame) == (1, 42)
+    np.testing.assert_allclose(bb, [0.1, 0.2, 1.5], rtol=1e-6)
+    np.testing.assert_array_equal(img2, img)
+
+
+@pytest.fixture(scope="module")
+def served_model():
+    model = AirPoseTwoView()
+    x = jnp.zeros((1, 2, 224, 224, 3))
+    variables = model.init(
+        jax.random.PRNGKey(3), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
+    )
+    return model, variables
+
+
+def test_staged_protocol_matches_fused(served_model, rng):
+    """Running the full 3-round message exchange in-process must equal the
+    fused two-view forward."""
+    model, variables = served_model
+    B = 1
+    x = jnp.asarray(rng.normal(size=(B, 2, 224, 224, 3)).astype(np.float32) * 0.1)
+    bb = jnp.asarray(rng.normal(size=(B, 2, 3)).astype(np.float32) * 0.1)
+    pos = jnp.full((B, 2, 3), 10.0)
+
+    fused = model.apply(variables, x, bb, pos * C.TRANS_SCALE, iters=3)
+
+    reg = StagedRegressor(variables)
+    states = [
+        reg.step1(np.asarray(x[:, v]), np.asarray(bb[:, v]), np.asarray(pos[:, v]))
+        for v in (0, 1)
+    ]
+    for _ in range(2):  # rounds 2 and 3
+        wires = [state_to_wire(s) for s in states]
+        new = []
+        for v in (0, 1):
+            art, shape = wire_to_peer(wires[1 - v])
+            new.append(
+                reg.step23(states[v], np.asarray(bb[:, v]), art[None], shape[None])
+            )
+        states = new
+
+    staged_pose = np.stack([s.pose[0] for s in states])
+    np.testing.assert_allclose(
+        staged_pose, np.asarray(fused.pose[0]), atol=1e-4
+    )
+
+
+def _client_request(port, frame_id, img, bb, init_trans):
+    sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+    sock.sendall(P.encode_image(0, frame_id, bb, init_trans, img))
+    msg = P.read_message_sync(sock)
+    sock.close()
+    assert msg is not None and msg[0] == P.MSG_RESULT
+    return P.decode_step(msg[1])
+
+
+def test_two_server_localhost_sync(served_model, rng):
+    """The benchtest equivalent: two servers, ports chosen by the OS,
+    full 3-round exchange driven by two client threads."""
+    from airpose_tpu.serve.server import run_server
+
+    _, variables = served_model
+    # pick two free ports
+    socks = [socket.socket() for _ in range(2)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+
+    loop = asyncio.new_event_loop()
+
+    def run_loop():
+        asyncio.set_event_loop(loop)
+        reg0 = StagedRegressor(variables)
+        reg1 = StagedRegressor(variables)
+        loop.create_task(run_server(reg0, 1, ports[0], peer_port=ports[1]))
+        loop.create_task(run_server(reg1, 2, ports[1], peer_port=ports[0]))
+        loop.run_forever()
+
+    t = threading.Thread(target=run_loop, daemon=True)
+    t.start()
+
+    import time
+
+    time.sleep(1.0)
+
+    img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
+    bb = np.asarray([0.0, 0.0, 1.0], np.float32)
+    init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+
+    results = [None, None]
+    errors = []
+
+    def client(v):
+        try:
+            results[v] = _client_request(ports[v], 7, img, bb, init_trans)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(v,)) for v in (0, 1)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    loop.call_soon_threadsafe(loop.stop)
+
+    assert not errors, errors
+    assert results[0] is not None and results[1] is not None
+    fid0, data0 = results[0]
+    fid1, data1 = results[1]
+    assert fid0 == 7 and fid1 == 7
+    assert data0.shape == (145,) and np.isfinite(data0).all()
+    # both served the same weights and the same image: step3 outputs agree
+    np.testing.assert_allclose(data0, data1, atol=1e-4)
