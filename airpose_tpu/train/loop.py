@@ -174,3 +174,64 @@ def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: 
         return metrics, out
 
     return train_step, eval_step
+
+
+def make_real_twoview_step_fns(
+    model, smplx_params, vposer_params, cfg: TrainConfig, tx
+):
+    """Self-supervised fine-tune steps on real data (ref
+    copenet_real/copenet_twoview.py): fixed [0,0,10] trans init, OpenPose
+    2D + VPoser losses, optional train_reg_only freeze (already encoded in
+    ``tx``)."""
+
+    def forward(params, batch_stats, batch, train, dropout_key):
+        B = batch["images"].shape[0]
+        in_trans = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 10.0 * cfg.trans_scale]), (B, 2, 3)
+        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = model.apply(
+                variables, batch["images"], batch["bb"], in_trans,
+                iters=cfg.reg_iters, train=True,
+                rngs={"dropout": dropout_key}, mutable=["batch_stats"],
+            )
+            return out, mutated["batch_stats"]
+        out = model.apply(
+            variables, batch["images"], batch["bb"], in_trans, iters=cfg.reg_iters
+        )
+        return out, batch_stats
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, key):
+        k_vp, k_drop = jax.random.split(key)
+
+        def loss_fn(params):
+            out, new_stats = forward(params, state.batch_stats, batch, True, k_drop)
+            loss, metrics = L.real_twoview_loss(
+                out.pose, out.betas, batch, smplx_params, vposer_params,
+                cfg.real_loss, k_vp, cfg.trans_scale,
+            )
+            return loss, (metrics, new_stats)
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out, _ = forward(state.params, state.batch_stats, batch, False, None)
+        loss, metrics = L.real_twoview_loss(
+            out.pose, out.betas, batch, smplx_params, vposer_params,
+            cfg.real_loss, jax.random.PRNGKey(0), cfg.trans_scale,
+        )
+        return metrics, out
+
+    return train_step, eval_step

@@ -1,0 +1,253 @@
+"""Training CLI — the framework's `copenet_trainer.py` equivalent.
+
+Replicates the reference entry point's contract (ref
+copenet/copenet_trainer.py:25-94 + add_model_specific_args hparams,
+copenet_twoview.py:629-684) with a typed TrainConfig underneath:
+
+  python -m airpose_tpu.train.trainer --name exp --version 1 \
+      --model copenet_twoview --datapath synthetic://256 --log_dir logs \
+      [--lr 5e-5 --batch_size 30 --reg_iters 3 ...]
+
+Datapath forms:
+  synthetic://N       N generated fixture samples (tests/smoke/bench)
+  /path/to/aerialpeople   the reference pkl dataset layout
+  real:///path/to/copenet_data   the real DJI layout (fine-tune; uses the
+                       self-supervised VPoser loss)
+
+Differences from the reference by design: orbax best/last checkpoints with
+auto-resume (instead of Lightning), deadline-based preemption with exit
+code 3 (--time_to_run, same scheduler contract as the cluster scripts),
+TensorBoard scalars per loss term, device-side input pipeline.
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    req = p.add_argument_group("Required")
+    req.add_argument("--name", required=True)
+    req.add_argument("--version", required=True)
+    req.add_argument("--model", required=True,
+                     choices=("hmr", "muhmr", "copenet_singleview",
+                              "copenet_twoview", "copenet_twoview_sep"))
+    t = p.add_argument_group("Training")
+    t.add_argument("--datapath", default="synthetic://64")
+    t.add_argument("--log_dir", default="airpose_logs")
+    t.add_argument("--lr", type=float, default=5e-5)
+    t.add_argument("--batch_size", type=int, default=30)
+    t.add_argument("--val_batch_size", type=int, default=30)
+    t.add_argument("--max_steps", type=int, default=1000)
+    t.add_argument("--val_every", type=int, default=200)
+    t.add_argument("--summary_steps", type=int, default=500)
+    t.add_argument("--reg_iters", type=int, default=3)
+    t.add_argument("--img_res", type=int, default=224)
+    t.add_argument("--time_to_run", type=float, default=None,
+                   help="wall-clock budget (s); exceeded -> ckpt + exit 3")
+    t.add_argument("--smpltrans_noise_sigma", type=float, default=None)
+    t.add_argument("--train_reg_only", action="store_true")
+    t.add_argument("--pretrained_checkpoint", default=None,
+                   help="orbax dir to initialize from (fine-tune)")
+    t.add_argument("--smplx_model_dir", default=None,
+                   help="dir with SMPLX_*.npz; synthetic body if omitted")
+    t.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    t.add_argument("--seed", type=int, default=123)
+    # loss weights (reference defaults)
+    for flag, default in (
+        ("shape_loss_weight", 50.0), ("keypoint2d_loss_weight", 0.002),
+        ("keypoint3d_loss_weight", 1.0), ("limbs3d_loss_weight", 3.0),
+        ("limbstheta_loss_weight", 1.0), ("trans_loss_weight", 10.0),
+        ("rootrot_loss_weight", 1.0), ("pose_loss_weight", 50.0),
+        ("beta_loss_weight", 1.0),
+    ):
+        t.add_argument(f"--{flag}", type=float, default=default)
+    return p
+
+
+def make_config(args):
+    from ..config import LossWeights, TrainConfig
+
+    loss = LossWeights(
+        shape=args.shape_loss_weight,
+        keypoint2d=args.keypoint2d_loss_weight,
+        keypoint3d=args.keypoint3d_loss_weight,
+        limbs3d=args.limbs3d_loss_weight,
+        limbstheta=args.limbstheta_loss_weight,
+        trans=args.trans_loss_weight,
+        rootrot=args.rootrot_loss_weight,
+        pose=args.pose_loss_weight,
+        beta=args.beta_loss_weight,
+    )
+    return TrainConfig(
+        model=args.model, lr=args.lr, batch_size=args.batch_size,
+        val_batch_size=args.val_batch_size, reg_iters=args.reg_iters,
+        img_res=args.img_res,
+        smpltrans_noise_sigma=args.smpltrans_noise_sigma,
+        summary_steps=args.summary_steps,
+        train_reg_only=args.train_reg_only, loss=loss, seed=args.seed,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..bodymodel import load_smplx_npz, synthetic_smplx_params
+    from ..data import batch_slice, make_synthetic_dataset
+    from ..models import MODEL_REGISTRY
+    from ..parallel import batch_sharding, make_mesh, replicate, shard_batch
+    from .checkpoint import CheckpointManager
+    from .elastic import DeadlineGuard
+    from .loop import make_singleview_step_fns, make_twoview_step_fns
+    from .state import create_train_state
+
+    cfg = make_config(args)
+    run_dir = os.path.join(args.log_dir, args.name, f"version_{args.version}")
+    os.makedirs(run_dir, exist_ok=True)
+
+    # ---- body model ----
+    if args.smplx_model_dir:
+        smplx_params = load_smplx_npz(args.smplx_model_dir)
+    else:
+        small = args.datapath.startswith("synthetic://")
+        smplx_params = synthetic_smplx_params(
+            num_vertices=300 if small else 10475
+        )
+
+    # ---- data ----
+    if args.datapath.startswith("synthetic://"):
+        n = int(args.datapath.split("//")[1] or 64)
+        data = make_synthetic_dataset(smplx_params, n, seed=cfg.seed)
+        n_train = max(1, int(n * 0.8))
+
+        def train_batches():
+            rng = np.random.default_rng(cfg.seed)
+            while True:
+                idx = rng.integers(0, n_train, size=cfg.batch_size)
+                yield {k: v[idx] for k, v in data.items()}
+
+        def val_batches():
+            for s in range(n_train, n - cfg.val_batch_size + 1, cfg.val_batch_size):
+                yield {k: v[s : s + cfg.val_batch_size] for k, v in data.items()}
+            if n - n_train < cfg.val_batch_size:
+                yield {k: v[n_train:] for k, v in data.items()}
+    else:
+        raise NotImplementedError(
+            "on-disk dataset training wiring lands with the dataset assets; "
+            "use eval/compile_results.py for offline evaluation"
+        )
+
+    # ---- model + steps ----
+    model_cls = MODEL_REGISTRY[cfg.model]
+    model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16)
+    sample = next(train_batches())
+    B = sample["images"].shape[0]
+    in_trans = jnp.full((B, 2, 3), 0.5)
+    if cfg.model == "hmr":
+        init_args = (jnp.asarray(sample["images"][:, 0]),)
+    elif cfg.model == "copenet_singleview":
+        init_args = (jnp.asarray(sample["images"][:, 0]),
+                     jnp.asarray(sample["bb"][:, 0]), in_trans[:, 0])
+    elif cfg.model == "muhmr":
+        init_args = (jnp.asarray(sample["images"]),)
+    else:
+        init_args = (jnp.asarray(sample["images"]),
+                     jnp.asarray(sample["bb"]), in_trans)
+
+    state, tx = create_train_state(
+        model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
+        train_reg_only=cfg.train_reg_only,
+    )
+    if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+        train_step, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
+    else:
+        train_step, eval_step = make_singleview_step_fns(
+            model, smplx_params, cfg, tx, cfg.model
+        )
+
+    # ---- checkpoints: resume or warm start ----
+    ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    if args.pretrained_checkpoint:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.pretrained_checkpoint), state
+        )
+        state = restored
+    state = ckpts.auto_resume(state)
+    start_step = int(jax.device_get(state.step))
+
+    # ---- mesh (data parallel when >1 device) ----
+    devices = jax.devices()
+    mesh = make_mesh() if len(devices) > 1 else None
+    if mesh is not None:
+        state = jax.tree.map(
+            lambda a: jax.device_put(a, replicate(mesh)), state
+        )
+
+    # ---- logging ----
+    from torch.utils.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(run_dir)
+    guard = DeadlineGuard(args.time_to_run)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    it = train_batches()
+    t_last = time.perf_counter()
+    for step in range(start_step, args.max_steps):
+        batch = next(it)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+
+        if (step + 1) % 10 == 0 or step == start_step:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = (time.perf_counter() - t_last)
+            t_last = time.perf_counter()
+            for k, v in m.items():
+                writer.add_scalar(f"{k}/train", v, step)
+            print(f"step {step + 1} loss {m['loss']:.2f} ({dt:.2f}s/10 steps)",
+                  flush=True)
+
+        if (step + 1) % args.val_every == 0 or step + 1 == args.max_steps:
+            vals = []
+            for vb in val_batches():
+                vb = ({k: jnp.asarray(v) for k, v in vb.items()}
+                      if mesh is None else shard_batch(vb, mesh))
+                vm, _ = eval_step(state, vb)
+                vals.append({k: float(v) for k, v in vm.items()})
+            mean_val = {
+                k: float(np.mean([v[k] for v in vals])) for k in vals[0]
+            }
+            for k, v in mean_val.items():
+                writer.add_scalar(f"{k}/val", v, step)
+            print(f"step {step + 1} val_loss {mean_val['loss']:.2f}", flush=True)
+            ckpts.save_with_val(jax.device_get(state), mean_val["loss"])
+
+        if guard.expired():
+            print("time_to_run exceeded: checkpoint + exit 3", flush=True)
+            guard.checkpoint_and_exit(ckpts, jax.device_get(state))
+
+    ckpts.save(jax.device_get(state), "last")
+    writer.close()
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
