@@ -1,0 +1,115 @@
+"""Tooling tests: cluster requeue cycle, dataset builder + reader round
+trip, hdf5 export, aruco generate->detect->pose, calibration from points."""
+
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+# module-level so the cluster subprocess can unpickle it
+def _square(x):
+    return x * x
+
+
+def test_cluster_local_mixedmap(tmp_path):
+    from airpose_tpu.utils.cluster import mixedmap
+
+    results = mixedmap(_square, [(2,), (3,), (4,)], str(tmp_path))
+    assert results == [4, 9, 16]
+
+
+def test_cluster_scripts_contain_requeue(tmp_path):
+    from airpose_tpu.utils.cluster import condor_submit_file, slurm_script
+
+    s = slurm_script(str(tmp_path))
+    assert "requeue" in s and " 3 ]" in s
+    c = condor_submit_file(str(tmp_path))
+    assert "on_exit_hold = (ExitCode =?= 3)" in c
+    assert "periodic_release" in c
+
+
+def test_create_aerialpeople_tool_roundtrip(tmp_path, rng):
+    from airpose_tpu.tools.create_aerialpeople import main as create_main
+    from airpose_tpu.data.aerialpeople import AerialPeopleDataset
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+
+    out = str(tmp_path / "ds")
+    create_main([
+        "--out", out, "--subjects", "3", "--poses-per-subject", "2",
+        "--num-vertices", "120", "--render-blobs",
+    ])
+    ds_train = AerialPeopleDataset(out, "train")
+    ds_test = AerialPeopleDataset(out, "test")
+    assert len(ds_train) == 4 and len(ds_test) == 2
+
+    params = synthetic_smplx_params(num_vertices=120, seed=0)
+    cache = ds_train.precompute_canonical_gt(params)
+    assert cache["vertices"].shape == (4, 120, 3)
+    hb = ds_train.host_batch([0, 1], rng, swap_cams=False)
+    assert hb["context"].shape[0] == 2
+    assert np.isfinite(hb["gt_j2d"]).all()
+
+
+def test_hdf5_export(tmp_path):
+    from airpose_tpu.tools.create_aerialpeople import main as create_main
+    from airpose_tpu.tools.to_hdf5 import export_split
+
+    out = str(tmp_path / "ds")
+    create_main(["--out", out, "--subjects", "2", "--poses-per-subject", "1",
+                 "--num-vertices", "60"])
+    h5path = str(tmp_path / "train.h5")
+    n = export_split(out, "train", h5path)
+    assert n == 1
+    import h5py
+
+    with h5py.File(h5path) as f:
+        g = f["000000"]
+        assert g["smplpose"].shape == (63,)
+        assert g["cam0"]["intr"].shape == (3, 3)
+        assert g.attrs["smplgender"] in ("male", "female", "neutral")
+
+
+def test_aruco_generate_detect_pose():
+    import cv2
+
+    from airpose_tpu.tools.calibration import (
+        detect_aruco_poses,
+        generate_aruco_marker,
+    )
+
+    marker = generate_aruco_marker(0, 200)
+    # place the marker in a larger frame
+    frame = np.full((480, 640), 255, np.uint8)
+    frame[140:340, 220:420] = marker
+    K = np.asarray([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+    poses = detect_aruco_poses(frame, K, np.zeros(5), marker_length=0.5)
+    assert "0" in poses, poses
+    tvec = poses["0"]["tvec"]
+    assert tvec[2] > 0  # marker in front of camera
+    # centered marker: x/y offsets near zero relative to depth
+    assert abs(tvec[0]) < 0.2 * tvec[2] and abs(tvec[1]) < 0.2 * tvec[2]
+
+
+def test_calibration_from_synthetic_points(rng):
+    import cv2
+
+    from airpose_tpu.tools.calibration import calibrate_from_points
+
+    K_true = np.asarray([[800.0, 0, 320], [0, 820.0, 240], [0, 0, 1]])
+    board = np.zeros((6 * 9, 3), np.float32)
+    board[:, :2] = np.mgrid[0:9, 0:6].T.reshape(-1, 2) * 0.05
+    obj_pts, img_pts = [], []
+    for k in range(6):
+        rvec = rng.normal(0, 0.3, 3)
+        tvec = np.asarray([rng.normal(0, 0.1), rng.normal(0, 0.1), 1.5 + 0.2 * k])
+        uv, _ = cv2.projectPoints(board, rvec, tvec, K_true, np.zeros(5))
+        obj_pts.append(board)
+        img_pts.append(uv.reshape(-1, 2))
+    K, dist, rms = calibrate_from_points(obj_pts, img_pts, (640, 480))
+    assert rms < 1.0
+    np.testing.assert_allclose(K[0, 0], 800.0, rtol=0.05)
+    np.testing.assert_allclose(K[1, 1], 820.0, rtol=0.05)
