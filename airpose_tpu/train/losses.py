@@ -423,3 +423,63 @@ def real_twoview_loss(
         "loss_regr_pose": loss_pose,
         "loss_regul_betas": loss_betas,
     }
+
+
+def real_singleview_loss(
+    pred_pose6d: jnp.ndarray,  # (B, 132)
+    pred_betas: jnp.ndarray,   # (B, 10)
+    pred_cam: jnp.ndarray,     # (B, 3) weak-persp (s, tx, ty)
+    batch: Dict[str, jnp.ndarray],
+    smplx_params: SMPLXParams,
+    vposer_params: VPoserParams,
+    w: RealLossWeights,
+    key,
+    focal=(5000.0, 5000.0),
+    img_res: int = C.CROP_SIZE,
+    view: int = 0,
+):
+    """Self-supervised single-view loss shared by the real-data hmr variants
+    ('hmr_camswap_difffl', ref copenet_real/hmr_camswap_difffl.py:92-128, and
+    'spin', ref copenet_real/spin.py:86-123): confidence-weighted crop-frame
+    2D keypoints (weak-persp, crop focal 5000), VPoser latent L2, β L2,
+    camera-depth barrier exp(-t_z)².
+
+    ``batch["gt_j2d_crop_conf"]`` is (B, V, 24, 3) crop-frame [u, v, conf].
+    """
+    B = pred_pose6d.shape[0]
+    rotmat = rot6d_to_rotmat(pred_pose6d.reshape(B, 22, 6))
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pred_betas.dtype), (B, 1, 3, 3))
+    out = smplx_forward(
+        smplx_params, pred_betas, body_pose=rotmat[:, 1:], global_orient=eye
+    )
+    cam_t = jnp.stack(
+        [pred_cam[:, 1], pred_cam[:, 2],
+         2 * focal[0] / (img_res * pred_cam[:, 0] + 1e-9)],
+        axis=-1,
+    )
+    j2d = _weak_cam_project(rotmat[:, 0], pred_cam, out.joints, focal, img_res)
+
+    kp = batch["gt_j2d_crop_conf"][:, view]
+    e2d = _sq(j2d[:, :22], kp[:, :22, :2]) * kp[:, :22, 2:]
+    e2d = _limb_weight_joints(e2d, w.limbs2d)
+    loss_kp2d = e2d.mean()
+
+    pose_aa = rotmat_to_aa(rotmat[:, 1:]).reshape(B, 63)
+    mu, sigma = vposer_encode(vposer_params, pose_aa)
+    z = vposer_rsample(mu, sigma, key)
+    loss_vposer = (z ** 2).mean()
+    loss_betas = (pred_betas ** 2).mean()
+    barrier = (jnp.exp(-cam_t[:, 2]) ** 2).mean()
+
+    total = w.total_scale * (
+        w.keypoint2d * loss_kp2d
+        + w.beta * loss_betas
+        + w.vposer * loss_vposer
+        + barrier
+    )
+    return total, {
+        "loss": total,
+        "loss_keypoints": loss_kp2d,
+        "loss_regul_vposer": loss_vposer,
+        "loss_regul_betas": loss_betas,
+    }

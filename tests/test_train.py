@@ -131,3 +131,47 @@ def test_train_reg_only_freezes_trunk(smplx_small, dataset):
         np.abs(a - b).max() > 0 for a, b in zip(core_after, core_before)
     )
     assert changed
+
+
+def test_real_twoview_finetune_step(smplx_small, dataset):
+    """Self-supervised fine-tune: loss computes and a step runs with the
+    VPoser prior in the graph."""
+    from airpose_tpu.bodymodel import init_vposer_params
+    from airpose_tpu.train.loop import make_real_twoview_step_fns
+
+    cfg = TrainConfig(lr=1e-4, batch_size=B)
+    batch = dict(batch_slice(dataset, 0, B))
+    # fabricate confident keypoints from the GT projections
+    j2d = np.asarray(batch["gt_j2d"])
+    batch["gt_j2d_conf"] = jnp.asarray(
+        np.concatenate([j2d, np.ones(j2d.shape[:-1] + (1,), np.float32)], -1)
+    )
+    model, state, tx = _init("copenet_twoview", batch, cfg)
+    vp = init_vposer_params(0)
+    train_step, eval_step = make_real_twoview_step_fns(model, smplx_small, vp, cfg, tx)
+    state, m = train_step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+    assert "loss_regul_vposer" in m
+    m2, _ = eval_step(state, batch)
+    assert np.isfinite(float(m2["loss"]))
+
+
+def test_real_singleview_variants(smplx_small, dataset):
+    from airpose_tpu.bodymodel import init_vposer_params
+    from airpose_tpu.train.loop import make_real_singleview_step_fns
+
+    cfg = TrainConfig(lr=1e-4, batch_size=B, model="hmr")
+    batch = dict(batch_slice(dataset, 0, B))
+    j2d = np.asarray(batch["gt_j2d_crop"])
+    batch["gt_j2d_crop_conf"] = jnp.asarray(
+        np.concatenate([j2d, np.ones(j2d.shape[:-1] + (1,), np.float32)], -1)
+    )
+    vp = init_vposer_params(0)
+    for family in ("hmr_camswap_difffl", "spin"):
+        # fresh state per family: train_step donates (and so deletes) it
+        model, state, tx = _init("hmr", batch, cfg)
+        train_step, eval_step = make_real_singleview_step_fns(
+            model, smplx_small, vp, cfg, tx, family
+        )
+        st, m = train_step(state, batch, jax.random.PRNGKey(0), 0)
+        assert np.isfinite(float(m["loss"])), family
