@@ -145,10 +145,39 @@ def main(argv=None):
             if n - n_train < cfg.val_batch_size:
                 yield {k: v[n_train:] for k, v in data.items()}
     else:
-        raise NotImplementedError(
-            "on-disk dataset training wiring lands with the dataset assets; "
-            "use eval/compile_results.py for offline evaluation"
-        )
+        # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
+        # output): host reader -> device-side finish_batch preprocessing.
+        from ..data import AerialPeopleDataset
+        from ..data.pipeline import finish_batch
+
+        train_ds = AerialPeopleDataset(args.datapath, "train")
+        test_ds = AerialPeopleDataset(args.datapath, "test")
+        print(f"loaded {len(train_ds)} train / {len(test_ds)} test samples")
+        train_ds.precompute_canonical_gt(smplx_params)
+        test_ds.precompute_canonical_gt(smplx_params)
+        key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
+
+        def _finish(ds, idx, rng_np, deterministic):
+            hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
+            # attach cached canonical GT
+            hb["gt_vertices"] = ds._gt_cache["vertices"][idx]
+            hb["gt_joints"] = ds._gt_cache["joints"][idx]
+            hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
+            key_holder[0], sub = jax.random.split(key_holder[0])
+            return finish_batch(hb, sub, deterministic=deterministic)
+
+        def train_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            while True:
+                idx = rng_np.integers(0, len(train_ds), size=cfg.batch_size)
+                yield _finish(train_ds, idx, rng_np, False)
+
+        def val_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            n = len(test_ds)
+            bs = min(cfg.val_batch_size, n)
+            for s in range(0, n - bs + 1, bs):
+                yield _finish(test_ds, list(range(s, s + bs)), rng_np, True)
 
     # ---- model + steps ----
     model_cls = MODEL_REGISTRY[cfg.model]

@@ -164,3 +164,81 @@ def test_auto_resume_fresh_when_no_checkpoint(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "empty"))
     out = mgr.auto_resume(state)
     assert int(out.step) == 0
+
+
+@pytest.mark.slow
+def test_full_twoview_conversion_parity(rng):
+    """Converted reference-style checkpoint: the flax AirPoseTwoView forward
+    must match an independent torch emulation of the reference's
+    feat_ext + 3x forward_reg IEF loop (eval mode) end to end."""
+    import jax
+    from airpose_tpu.models import AirPoseTwoView
+    from airpose_tpu.models.regressor import load_mean_params
+
+    torch.manual_seed(2)
+    trunk = TorchResNet50Trunk().eval()
+    with torch.no_grad():
+        for m in trunk.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.02)
+                m.running_var.uniform_(0.9, 1.1)
+
+    fc1 = tnn.Linear(2332, 1024)
+    fc2 = tnn.Linear(1024, 1024)
+    decpose = tnn.Linear(1024, 135)
+    decshape = tnn.Linear(1024, 10)
+    with torch.no_grad():
+        for lin in (decpose, decshape):
+            lin.weight.mul_(0.01)
+
+    sd = {"model." + k: v for k, v in trunk.state_dict().items()}
+    for name, mod in (("fc1", fc1), ("fc2", fc2),
+                      ("decpose", decpose), ("decshape", decshape)):
+        sd[f"model.{name}.weight"] = mod.weight.data
+        sd[f"model.{name}.bias"] = mod.bias.data
+
+    variables = convert_reference_checkpoint(sd, "copenet_twoview")
+
+    B = 2
+    x = rng.normal(size=(B, 2, 64, 64, 3)).astype(np.float32) * 0.2
+    bb = rng.normal(size=(B, 2, 3)).astype(np.float32) * 0.1
+    pos = np.full((B, 2, 3), 0.5, np.float32)
+
+    # --- torch emulation of the reference IEF loop (eval: no dropout) ---
+    mean_pose, mean_shape, _ = load_mean_params()
+    with torch.no_grad():
+        xf = [trunk(torch.from_numpy(x[:, v].transpose(0, 3, 1, 2)))
+              for v in (0, 1)]
+        pose = [torch.from_numpy(
+            np.concatenate([pos[:, v], np.tile(mean_pose[:132], (B, 1))], 1))
+            for v in (0, 1)]
+        shape = [torch.from_numpy(np.tile(mean_shape, (B, 1))) for _ in (0, 1)]
+        bb_t = [torch.from_numpy(bb[:, v]) for v in (0, 1)]
+        for _ in range(3):
+            new_pose, new_shape = [], []
+            for v in (0, 1):
+                o = 1 - v
+                xc = torch.cat([
+                    xf[v], bb_t[v], pose[v][:, :3], pose[v][:, 3:9],
+                    pose[v][:, 9:], shape[v], pose[o][:, 9:], shape[o],
+                ], 1)
+                h = fc2(fc1(xc))
+                new_pose.append(pose[v] + decpose(h))
+                new_shape.append(shape[v] + decshape(h))
+            pose, shape = new_pose, new_shape
+    want_pose = np.stack([p.numpy() for p in pose], 1)
+    want_shape = np.stack([s.numpy() for s in shape], 1)
+
+    # --- flax forward with converted weights ---
+    model = AirPoseTwoView()
+    init_vars = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(bb), jnp.asarray(pos)
+    )
+    merged = {
+        "params": variables["params"],
+        "batch_stats": {**init_vars["batch_stats"],
+                        **jax.tree.map(jnp.asarray, variables["batch_stats"])},
+    }
+    out = model.apply(merged, jnp.asarray(x), jnp.asarray(bb), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(out.pose), want_pose, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out.betas), want_shape, atol=5e-3)
