@@ -95,6 +95,31 @@ def make_config(args):
     )
 
 
+def _summary_overlay(smplx_params, batch, preds):
+    """Render sample 0 / view 0's predicted mesh over its input crop."""
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..bodymodel.smplx import smplx_forward
+    from ..utils.render import overlay_mesh
+
+    rotmat = preds["pred_rotmat"][0, 0]
+    betas = preds["pred_betas"][0, 0]
+    out = smplx_forward(
+        smplx_params,
+        jnp.asarray(betas)[None],
+        body_pose=jnp.asarray(rotmat[1:])[None],
+        global_orient=jnp.asarray(rotmat[:1])[None],
+    )
+    verts = np.asarray(out.vertices)[0] + np.asarray(preds["pred_trans"][0, 0])
+    img = np.asarray(batch["images"][0, 0])
+    img = np.clip(img * np.asarray(C.IMG_NORM_STD) + np.asarray(C.IMG_NORM_MEAN), 0, 1)
+    # crop-frame weak rendering: scale the full-image focal by the crop scale
+    s = float(np.asarray(batch["bb"][0, 0, 2]))
+    focal = (C.FOCAL_LENGTH[0] * s, C.FOCAL_LENGTH[1] * s)
+    return overlay_mesh(img, verts, smplx_params.faces, focal).astype(np.float32)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -256,11 +281,25 @@ def main(argv=None):
 
         if (step + 1) % args.val_every == 0 or step + 1 == args.max_steps:
             vals = []
+            summary_done = False
             for vb in val_batches():
                 vb = ({k: jnp.asarray(v) for k, v in vb.items()}
                       if mesh is None else shard_batch(vb, mesh))
-                vm, _ = eval_step(state, vb)
+                vm, preds = eval_step(state, vb)
                 vals.append({k: float(v) for k, v in vm.items()})
+                if not summary_done and cfg.model in (
+                    "copenet_twoview", "copenet_twoview_sep"
+                ):
+                    # rendered mesh-overlay image summary (the reference's
+                    # TB summaries, copenet_twoview.py:445-501)
+                    try:
+                        img = _summary_overlay(smplx_params, vb, preds)
+                        writer.add_image(
+                            "val_pred_shape_cam", img.transpose(2, 0, 1), step
+                        )
+                    except Exception as e:  # rendering is best-effort
+                        print(f"summary render skipped: {e}", flush=True)
+                    summary_done = True
             mean_val = {
                 k: float(np.mean([v[k] for v in vals])) for k in vals[0]
             }
