@@ -16,7 +16,6 @@ single large einsums so XLA tiles them onto the MXU; the 55-step kinematic
 chain is unrolled at trace time (static tree, negligible FLOPs).
 """
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax

@@ -22,7 +22,7 @@ parity is defined on the deterministic eval path — SURVEY.md §7 risks.)
 
 import queue
 import threading
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

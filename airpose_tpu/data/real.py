@@ -22,7 +22,7 @@ import json
 import os
 import os.path as osp
 import pickle
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

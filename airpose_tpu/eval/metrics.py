@@ -11,7 +11,7 @@ end (copenet_twoview.py:572-587); here the whole eval set's joints are
 computed in one folded jit call.
 """
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -143,3 +143,46 @@ def lstsq_triangulation(
     AtA = jnp.matmul(A.T, A, precision="highest")
     Atb = jnp.matmul(A.T, b, precision="highest")
     return jnp.linalg.solve(AtA, Atb)
+
+
+def estimate_translation(
+    joints_3d: jnp.ndarray,   # (B, N, 3)
+    joints_2d: jnp.ndarray,   # (B, N, 3) [u, v, conf]
+    focal_length: float = 5000.0,
+    img_size: float = 224.0,
+) -> jnp.ndarray:
+    """Weighted least-squares camera translation from 2D/3D correspondences.
+
+    Batched closed-form version of ref geometry.py:94-157 (the reference
+    loops per sample in numpy): solve min ||W(Q t − c)|| for t where each
+    joint contributes two rows  f·t_x + (c_x − u)·t_z = (u − c_x)·Z − f·X
+    (and the y analogue), weights √conf.
+    """
+    f = jnp.asarray([focal_length, focal_length], dtype=joints_3d.dtype)
+    center = jnp.asarray([img_size / 2.0, img_size / 2.0], dtype=joints_3d.dtype)
+    XY = joints_3d[..., :2]          # (B, N, 2)
+    Z = joints_3d[..., 2:]           # (B, N, 1)
+    uv = joints_2d[..., :2]
+    w = jnp.sqrt(jnp.maximum(joints_2d[..., 2:], 0.0))  # (B, N, 1)
+
+    B, N = XY.shape[:2]
+    # Rows for x: [f, 0, c_x - u]; rows for y: [0, f, c_y - v].
+    zeros = jnp.zeros((B, N), XY.dtype)
+    fx = jnp.broadcast_to(f[0], (B, N))
+    fy = jnp.broadcast_to(f[1], (B, N))
+    rows_x = jnp.stack([fx, zeros, center[0] - uv[..., 0]], axis=-1)
+    rows_y = jnp.stack([zeros, fy, center[1] - uv[..., 1]], axis=-1)
+    Q = jnp.concatenate([rows_x, rows_y], axis=1)        # (B, 2N, 3)
+    c = jnp.concatenate(
+        [
+            (uv[..., 0] - center[0]) * Z[..., 0] - f[0] * XY[..., 0],
+            (uv[..., 1] - center[1]) * Z[..., 0] - f[1] * XY[..., 1],
+        ],
+        axis=1,
+    )  # (B, 2N)
+    ww = jnp.concatenate([w[..., 0], w[..., 0]], axis=1)  # (B, 2N)
+    Qw = Q * ww[..., None]
+    cw = c * ww
+    A = jnp.einsum("bni,bnj->bij", Qw, Qw, precision="highest")
+    b = jnp.einsum("bni,bn->bi", Qw, cw, precision="highest")
+    return jnp.linalg.solve(A, b[..., None])[..., 0]

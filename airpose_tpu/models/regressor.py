@@ -11,7 +11,7 @@ TPU note: the MLP runs in f32 (tiny vs the trunk, and the IEF residual
 accumulation is precision-sensitive).
 """
 
-from typing import Any, Sequence, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -31,7 +31,7 @@ TPU-first deltas (same math, better mapping):
 """
 
 import dataclasses
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

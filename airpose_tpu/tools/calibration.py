@@ -10,7 +10,7 @@ markerposes_corrected_all.pkl format the real dataset reader consumes.
 
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -8,8 +8,6 @@ psum over ICI, BatchNorm means become global automatically.
 """
 
 import functools
-from typing import Callable, Dict, Optional
-
 import jax
 import jax.numpy as jnp
 

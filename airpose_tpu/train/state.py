@@ -7,7 +7,7 @@ copenet_real/copenet_twoview.py:361-373) is an optax.multi_transform over a
 param-label tree instead of requires_grad mutation.
 """
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

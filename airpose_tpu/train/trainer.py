@@ -21,11 +21,8 @@ TensorBoard scalars per loss term, device-side input pipeline.
 """
 
 import argparse
-import dataclasses
 import os
-import sys
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -131,9 +128,9 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..bodymodel import load_smplx_npz, synthetic_smplx_params
-    from ..data import batch_slice, make_synthetic_dataset
+    from ..data import make_synthetic_dataset
     from ..models import MODEL_REGISTRY
-    from ..parallel import batch_sharding, make_mesh, replicate, shard_batch
+    from ..parallel import make_mesh, replicate, shard_batch
     from .checkpoint import CheckpointManager
     from .elastic import DeadlineGuard
     from .loop import make_singleview_step_fns, make_twoview_step_fns

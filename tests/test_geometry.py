@@ -185,3 +185,34 @@ def test_geman_mcclure_limits():
     out = np.asarray(geman_mcclure(r, 30.0))
     assert out[0] == 0.0
     np.testing.assert_allclose(out[1], 900.0, rtol=1e-3)  # saturates at σ²
+
+
+def test_estimate_translation_recovers_truth(rng):
+    from airpose_tpu.geometry.projection import estimate_translation
+
+    B, N = 3, 24
+    t_true = np.asarray([[0.2, -0.1, 7.0], [0.0, 0.3, 9.0], [-0.4, 0.1, 5.0]],
+                        np.float32)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.4
+    f, res = 5000.0, 224.0
+    cam = pts + t_true[:, None]
+    uv = cam[..., :2] / cam[..., 2:] * f + res / 2.0
+    j2d = np.concatenate([uv, np.ones((B, N, 1), np.float32)], -1)
+    est = np.asarray(estimate_translation(jnp.asarray(pts), jnp.asarray(j2d)))
+    np.testing.assert_allclose(est, t_true, atol=1e-2)
+
+
+def test_estimate_translation_ignores_zero_conf(rng):
+    from airpose_tpu.geometry.projection import estimate_translation
+
+    B, N = 1, 24
+    t_true = np.asarray([[0.1, 0.2, 6.0]], np.float32)
+    pts = rng.normal(size=(B, N, 3)).astype(np.float32) * 0.4
+    cam = pts + t_true[:, None]
+    uv = cam[..., :2] / cam[..., 2:] * 5000.0 + 112.0
+    j2d = np.concatenate([uv, np.ones((B, N, 1), np.float32)], -1)
+    # corrupt half the joints but zero their confidence
+    j2d[:, ::2, :2] += 500.0
+    j2d[:, ::2, 2] = 0.0
+    est = np.asarray(estimate_translation(jnp.asarray(pts), jnp.asarray(j2d)))
+    np.testing.assert_allclose(est, t_true, atol=1e-2)
