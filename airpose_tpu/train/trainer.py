@@ -188,11 +188,17 @@ def main(argv=None):
             key_holder[0], sub = jax.random.split(key_holder[0])
             return finish_batch(hb, sub, deterministic=deterministic)
 
-        def train_batches():
+        def _train_batches_raw():
             rng_np = np.random.default_rng(cfg.seed)
             while True:
                 idx = rng_np.integers(0, len(train_ds), size=cfg.batch_size)
                 yield _finish(train_ds, idx, rng_np, False)
+
+        def train_batches():
+            # double-buffer host decode/preprocess against the train step
+            from ..data.pipeline import Prefetcher
+
+            return Prefetcher(_train_batches_raw())
 
         def val_batches():
             rng_np = np.random.default_rng(cfg.seed)
@@ -204,7 +210,8 @@ def main(argv=None):
     # ---- model + steps ----
     model_cls = MODEL_REGISTRY[cfg.model]
     model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16)
-    sample = next(train_batches())
+    it = train_batches()  # one iterator: shared by init probe and the loop
+    sample = next(it)
     B = sample["images"].shape[0]
     in_trans = jnp.full((B, 2, 3), 0.5)
     if cfg.model == "hmr":
@@ -256,10 +263,10 @@ def main(argv=None):
     guard = DeadlineGuard(args.time_to_run)
     key = jax.random.PRNGKey(cfg.seed)
 
-    it = train_batches()
     t_last = time.perf_counter()
+    pending = [sample]
     for step in range(start_step, args.max_steps):
-        batch = next(it)
+        batch = pending.pop() if pending else next(it)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         else:
