@@ -7,6 +7,7 @@ from .rotations import (
     rotmat_to_rot6d,
 )
 from .projection import (
+    estimate_translation,
     perspective_projection,
     transform_points,
     transform_smpl,
@@ -23,6 +24,7 @@ __all__ = [
     "rot6d_to_rotmat",
     "rotmat_to_aa",
     "rotmat_to_rot6d",
+    "estimate_translation",
     "perspective_projection",
     "transform_points",
     "transform_smpl",

@@ -1,6 +1,7 @@
 from .airpose import (
     AirPoseTwoView,
     AirPoseTwoViewSep,
+    AirPoseTwoViewSepView,
     FullCamOutput,
     HMR,
     MuHMR,
@@ -22,6 +23,7 @@ MODEL_REGISTRY = {
 __all__ = [
     "AirPoseTwoView",
     "AirPoseTwoViewSep",
+    "AirPoseTwoViewSepView",
     "FullCamOutput",
     "HMR",
     "MuHMR",

@@ -343,3 +343,47 @@ class AirPoseTwoViewSep(nn.Module):
             ds = jnp.stack([outs[0][1], outs[1][1]], axis=1)
             pose, shape = pose + dp, shape + ds
         return FullCamOutput(pose=pose, betas=shape)
+
+
+def _sep_view_modules(model: "AirPoseTwoViewSep", view: int):
+    return (model.trunk0, model.core0) if view == 0 else (model.trunk1, model.core1)
+
+
+class AirPoseTwoViewSepView(nn.Module):
+    """Single-view staged access into AirPoseTwoViewSep's per-drone weights
+    (serving path for the _sep variant — each drone loads the full sep
+    checkpoint and runs its own trunk/core by robot id)."""
+
+    iters: int = 3
+    dtype: Any = jnp.float32
+    view: int = 0
+
+    def setup(self):
+        # mirror AirPoseTwoViewSep's parameter tree so sep checkpoints
+        # restore directly
+        self.trunk0 = ResNet50(dtype=self.dtype)
+        self.trunk1 = ResNet50(dtype=self.dtype)
+        self.core0 = RegressorCore(
+            head_dims=(135, 10), head_names=("decpose", "decshape")
+        )
+        self.core1 = RegressorCore(
+            head_dims=(135, 10), head_names=("decpose", "decshape")
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.extract_features(x)
+
+    def extract_features(self, x: jnp.ndarray) -> jnp.ndarray:
+        trunk, _ = _sep_view_modules(self, self.view)
+        return trunk(x, train=False)
+
+    def regress_step(self, xf, bb, own_pose, own_shape, peer_art_pose,
+                     peer_shape):
+        _, core = _sep_view_modules(self, self.view)
+        trans, orient, art = own_pose[..., :3], own_pose[..., 3:9], own_pose[..., 9:]
+        xc = jnp.concatenate(
+            [xf, bb, trans, orient, art, own_shape, peer_art_pose, peer_shape],
+            axis=-1,
+        )
+        dp, ds = core(xc, train=False)
+        return own_pose + dp, own_shape + ds

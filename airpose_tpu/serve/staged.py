@@ -49,10 +49,20 @@ def wire_to_peer(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
 
 class StagedRegressor:
-    """Jitted step1/2/3 over shared AirPoseTwoView weights."""
+    """Jitted step1/2/3 over AirPoseTwoView weights (or, with
+    ``sep_view`` set, one drone's half of an AirPoseTwoViewSep
+    checkpoint)."""
 
-    def __init__(self, variables, iters: int = C.NUM_ITERS, dtype=jnp.float32):
-        self.model = AirPoseTwoView(iters=iters, dtype=dtype)
+    def __init__(self, variables, iters: int = C.NUM_ITERS, dtype=jnp.float32,
+                 sep_view: int = None):
+        if sep_view is None:
+            self.model = AirPoseTwoView(iters=iters, dtype=dtype)
+        else:
+            from ..models.airpose import AirPoseTwoViewSepView
+
+            self.model = AirPoseTwoViewSepView(
+                iters=iters, dtype=dtype, view=sep_view
+            )
         self.variables = variables
         mean_pose, mean_shape, _ = mean_init_state((1,))
         self._mean_art = np.asarray(mean_pose)[:, 6:]
@@ -63,14 +73,14 @@ class StagedRegressor:
         @jax.jit
         def _features(variables, image):
             return model.apply(
-                variables, image, method=AirPoseTwoView.extract_features
+                variables, image, method=type(model).extract_features
             )
 
         @jax.jit
         def _reg(variables, xf, bb, pose, shape, peer_art, peer_shape):
             return model.apply(
                 variables, xf, bb, pose, shape, peer_art, peer_shape,
-                method=AirPoseTwoView.regress_step,
+                method=type(model).regress_step,
             )
 
         self._features = _features

@@ -151,3 +151,34 @@ def test_two_server_localhost_sync(served_model, rng):
     assert data0.shape == (145,) and np.isfinite(data0).all()
     # both served the same weights and the same image: step3 outputs agree
     np.testing.assert_allclose(data0, data1, atol=1e-4)
+
+
+def test_sep_staged_matches_sep_fused(rng):
+    """Per-drone-weights serving: staged steps through AirPoseTwoViewSepView
+    (each robot using its own trunk/core) equal the fused _sep forward."""
+    from airpose_tpu.models import AirPoseTwoViewSep
+
+    model = AirPoseTwoViewSep()
+    B = 1
+    x = jnp.asarray(rng.normal(size=(B, 2, 224, 224, 3)).astype(np.float32) * 0.1)
+    bb = jnp.asarray(rng.normal(size=(B, 2, 3)).astype(np.float32) * 0.1)
+    pos = jnp.full((B, 2, 3), 10.0)
+    variables = model.init(jax.random.PRNGKey(5), x, bb, pos * C.TRANS_SCALE)
+    fused = model.apply(variables, x, bb, pos * C.TRANS_SCALE, iters=3)
+
+    regs = [StagedRegressor(variables, sep_view=v) for v in (0, 1)]
+    states = [
+        regs[v].step1(np.asarray(x[:, v]), np.asarray(bb[:, v]), np.asarray(pos[:, v]))
+        for v in (0, 1)
+    ]
+    for _ in range(2):
+        wires = [state_to_wire(s) for s in states]
+        new = []
+        for v in (0, 1):
+            art, shape = wire_to_peer(wires[1 - v])
+            new.append(
+                regs[v].step23(states[v], np.asarray(bb[:, v]), art[None], shape[None])
+            )
+        states = new
+    staged_pose = np.stack([s.pose[0] for s in states])
+    np.testing.assert_allclose(staged_pose, np.asarray(fused.pose[0]), atol=1e-4)
