@@ -123,6 +123,80 @@ def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
     return outputs, {k: float(v) for k, v in metrics.items()}
 
 
+def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
+                       family):
+    """Eval the hmr / muhmr / copenet_singleview families: outputs pkl in
+    the reference single-view format (pred_angles, pred_smpltrans via the
+    weak-cam reprojection for the weak families — ref hmr.py:178-193,
+    hmr_synth_res_compile.py:129-170) + MPJPE / PA-MPJPE / MPE."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..data import batch_slice
+    from ..eval.metrics import canonical_joints, mpe, mpjpe, pa_mpjpe
+    from ..geometry.projection import weak_cam_crop_to_full_trans
+    from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
+    from ..train.loop import make_singleview_step_fns
+    from ..train.state import make_optimizer
+
+    tx = make_optimizer(cfg.lr)
+    _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
+
+    n = data["images"].shape[0]
+    outputs = []
+    rms, betas_all, trans_all = [], [], []
+    for s0 in range(0, n - batch_size + 1, batch_size):
+        batch = batch_slice(data, s0, batch_size)
+        _, out = eval_step(state, batch)
+        if family == "copenet_singleview":
+            pose = np.asarray(out.pose)
+            trans = pose[:, :3] / cfg.trans_scale
+            rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(pose[:, 3:]).reshape(-1, 22, 6)))
+        else:
+            rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(out.pose6d).reshape(-1, 22, 6)))
+            if family == "muhmr":
+                rotmat = rotmat.reshape(batch_size, 2, 22, 3, 3)[:, 0]
+                cam = np.asarray(out.cam)[:, 0]
+                bb = np.asarray(batch["bb"])[:, 0]
+            else:
+                cam = np.asarray(out.cam)
+                bb = np.asarray(batch["bb"])[:, 0]
+            trans = np.asarray(weak_cam_crop_to_full_trans(
+                jnp.asarray(cam), jnp.asarray(bb), jnp.asarray(batch["intr"][:, 0]),
+                C.FOCAL_LENGTH, cfg.img_res))
+        betas = np.asarray(out.betas)
+        if betas.ndim == 3:
+            betas = betas[:, 0]
+        angles = np.asarray(rotmat_to_aa(jnp.asarray(rotmat)))
+        gt_orient = np.asarray(batch["gt_orient"])[:, 0]
+        gt_pose = np.asarray(batch["gt_pose_rotmat"])
+        gt_rm = np.concatenate([gt_orient[:, None], gt_pose], axis=1)
+        outputs.append({"output": {
+            "pred_angles": angles,
+            "pred_betas": betas,
+            "pred_smpltrans": trans,
+            "gt_angles": np.asarray(rotmat_to_aa(jnp.asarray(gt_rm))),
+            "gt_smpltrans": np.asarray(batch["gt_trans"])[:, 0],
+        }})
+        rms.append((rotmat, gt_rm))
+        betas_all.append(betas)
+        trans_all.append(trans)
+
+    pred_rm = np.concatenate([r[0] for r in rms])
+    gt_rm = np.concatenate([r[1] for r in rms])
+    N = pred_rm.shape[0]
+    pj = canonical_joints(smplx_params, jnp.zeros((N, 10)), jnp.asarray(pred_rm))
+    gj = canonical_joints(smplx_params, jnp.zeros((N, 10)), jnp.asarray(gt_rm))
+    metrics = {
+        "mpjpe": float(mpjpe(pj, gj)),
+        "pa_mpjpe": float(pa_mpjpe(pj, gj)),
+        "mpe": float(mpe(jnp.asarray(np.concatenate(trans_all)),
+                         jnp.asarray(data["gt_trans"][:N, 0]))),
+    }
+    return outputs, metrics
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="copenet_twoview")
@@ -164,20 +238,30 @@ def main(argv=None):
 
     model = MODEL_REGISTRY[args.model](iters=cfg.reg_iters)
     B = min(args.batch_size, data["images"].shape[0])
-    state, _ = create_train_state(
-        model,
-        (jnp.asarray(data["images"][:B]), jnp.asarray(data["bb"][:B]),
-         jnp.full((B, 2, 3), 0.5)),
-        jax.random.PRNGKey(0), lr=cfg.lr,
-    )
+    if args.model == "hmr":
+        init_args = (jnp.asarray(data["images"][:B, 0]),)
+    elif args.model == "copenet_singleview":
+        init_args = (jnp.asarray(data["images"][:B, 0]),
+                     jnp.asarray(data["bb"][:B, 0]), jnp.full((B, 3), 0.5))
+    elif args.model == "muhmr":
+        init_args = (jnp.asarray(data["images"][:B]),)
+    else:
+        init_args = (jnp.asarray(data["images"][:B]), jnp.asarray(data["bb"][:B]),
+                     jnp.full((B, 2, 3), 0.5))
+    state, _ = create_train_state(model, init_args, jax.random.PRNGKey(0), lr=cfg.lr)
     if args.ckpt:
         import orbax.checkpoint as ocp
 
         state = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt), state)
 
-    outputs, metrics = compile_twoview(
-        state, model, smplx_params, data, B, cfg, save_full=args.save_full
-    )
+    if args.model in ("copenet_twoview", "copenet_twoview_sep"):
+        outputs, metrics = compile_twoview(
+            state, model, smplx_params, data, B, cfg, save_full=args.save_full
+        )
+    else:
+        outputs, metrics = compile_singleview(
+            state, model, smplx_params, data, B, cfg, args.model
+        )
     for k, v in metrics.items():
         print(f"test_{k}: {v:.4f}")
     with open(args.out, "wb") as f:

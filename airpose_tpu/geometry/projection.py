@@ -186,3 +186,38 @@ def estimate_translation(
     A = jnp.einsum("bni,bnj->bij", Qw, Qw, precision="highest")
     b = jnp.einsum("bni,bn->bi", Qw, cw, precision="highest")
     return jnp.linalg.solve(A, b[..., None])[..., 0]
+
+
+def weak_cam_crop_to_full_trans(
+    weak_cam: jnp.ndarray,  # (B, 3) crop-frame (s, tx, ty)
+    bb: jnp.ndarray,        # (B, 3) (center/principal - 1, crop scale)
+    intr: jnp.ndarray,      # (B, 3, 3) full-image intrinsics
+    focal,                  # (fx, fy) used by the weak camera
+    img_res: int = 224,
+) -> jnp.ndarray:
+    """Convert an HMR-style crop-frame weak-perspective camera into a
+    full-image camera-frame root translation.
+
+    Replicates ref copenet/hmr.py:163-193 (the test-output path that turns
+    (s, tx, ty) + the crop's bb encoding into pred_smpltrans): build the
+    crop-modified intrinsics, reproject the weak translation through the
+    full intrinsics, rescale depth by the crop scale.
+    """
+    f = jnp.asarray(focal, dtype=weak_cam.dtype)
+    cam_t = jnp.stack(
+        [weak_cam[:, 1], weak_cam[:, 2],
+         2 * f[0] / (img_res * weak_cam[:, 0] + 1e-9)],
+        axis=-1,
+    )
+    s = bb[:, 2]
+    fx_full = intr[:, 0, 0]
+    fy_full = intr[:, 1, 1]
+    principal = intr[:, :2, 2]
+    # modif_intr @ cam_t  (ref hmr.py:183-187)
+    mx = (f[0] / s) * cam_t[:, 0] + bb[:, 0] * principal[:, 0] * cam_t[:, 2]
+    my = (f[1] / s) * cam_t[:, 1] + bb[:, 1] * principal[:, 1] * cam_t[:, 2]
+    mz = cam_t[:, 2]
+    # inv(intr with zeroed principal point) @ m
+    v = jnp.stack([mx / fx_full, my / fy_full, mz], axis=-1)
+    z = cam_t[:, 2] * s
+    return v * (z / v[:, 2])[:, None]

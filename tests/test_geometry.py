@@ -216,3 +216,40 @@ def test_estimate_translation_ignores_zero_conf(rng):
     j2d[:, ::2, 2] = 0.0
     est = np.asarray(estimate_translation(jnp.asarray(pts), jnp.asarray(j2d)))
     np.testing.assert_allclose(est, t_true, atol=1e-2)
+
+
+def test_weak_cam_crop_to_full_trans_matches_reference_formula(rng):
+    """Cross-check against an independent torch transcription of the
+    reference's modif_intr reprojection (hmr.py:178-193)."""
+    import torch
+
+    from airpose_tpu.geometry.projection import weak_cam_crop_to_full_trans
+
+    B = 5
+    cam = np.abs(rng.normal(size=(B, 3)).astype(np.float32)) + 0.3
+    bb = rng.normal(size=(B, 3)).astype(np.float32) * 0.2
+    bb[:, 2] = np.abs(bb[:, 2]) + 0.5
+    intr = np.tile(
+        np.asarray([[1475.0, 0, 960], [0, 1475.0, 540], [0, 0, 1]], np.float32),
+        (B, 1, 1),
+    )
+    f = (1475.0, 1475.0)
+    res = 224
+
+    cam_t = torch.stack([
+        torch.from_numpy(cam[:, 1]), torch.from_numpy(cam[:, 2]),
+        2 * f[0] / (res * torch.from_numpy(cam[:, 0]) + 1e-9)], dim=-1)
+    intr_t = torch.from_numpy(intr).clone()
+    intr0 = intr_t.clone()
+    intr0[:, :2, 2] = 0
+    modif = torch.eye(3).repeat(B, 1, 1)
+    modif[:, 0, 0] = f[0] / torch.from_numpy(bb[:, 2])
+    modif[:, 1, 1] = f[1] / torch.from_numpy(bb[:, 2])
+    modif[:, :2, 2] = torch.from_numpy(bb[:, :2]) * intr_t[:, :2, 2]
+    ct = torch.bmm(torch.inverse(intr0), torch.bmm(modif, cam_t.unsqueeze(2)))
+    cz = (cam_t / ((f[0] / torch.from_numpy(bb[:, 2])) / f[0]).unsqueeze(1))[:, 2]
+    want = (ct.squeeze(2) * cz.unsqueeze(1) / ct[:, 2]).numpy()
+
+    got = np.asarray(weak_cam_crop_to_full_trans(
+        jnp.asarray(cam), jnp.asarray(bb), jnp.asarray(intr), f, res))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
