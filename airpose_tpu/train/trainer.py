@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--smplx_model_dir", default=None,
                    help="dir with SMPLX_*.npz; synthetic body if omitted")
     t.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    t.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000),
+                   help="real:// train frame range (ref copenet_real.py:22)")
+    t.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
     t.add_argument("--seed", type=int, default=123)
     # loss weights (reference defaults)
     for flag, default in (
@@ -150,6 +153,7 @@ def main(argv=None):
         )
 
     # ---- data ----
+    real_finetune = args.datapath.startswith("real://")
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(smplx_params, n, seed=cfg.seed)
@@ -166,6 +170,42 @@ def main(argv=None):
                 yield {k: v[s : s + cfg.val_batch_size] for k, v in data.items()}
             if n - n_train < cfg.val_batch_size:
                 yield {k: v[n_train:] for k, v in data.items()}
+    elif real_finetune:
+        # Real DJI layout: self-supervised fine-tune (OpenPose/AlphaPose 2D
+        # + VPoser prior; ref copenet_real/copenet_trainer.py).
+        from ..data import CopenetRealDataset
+        from ..data.pipeline import finish_batch
+
+        path = args.datapath[len("real://"):]
+        train_ds = CopenetRealDataset(
+            path, frame_range=range(*args.train_frames), shuffle_cams=True)
+        test_ds = CopenetRealDataset(path, frame_range=range(*args.test_frames))
+        print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
+        key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
+
+        def _finish_real(ds, idx, rng_np):
+            hb = ds.host_batch(idx, rng_np)
+            key_holder[0], sub = jax.random.split(key_holder[0])
+            b = finish_batch(hb, sub, deterministic=True, margin=0.0)
+            b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
+            return b
+
+        def _train_batches_raw():
+            rng_np = np.random.default_rng(cfg.seed)
+            while True:
+                idx = rng_np.integers(0, len(train_ds), size=cfg.batch_size)
+                yield _finish_real(train_ds, idx, rng_np)
+
+        def train_batches():
+            from ..data.pipeline import Prefetcher
+
+            return Prefetcher(_train_batches_raw())
+
+        def val_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            bs = min(cfg.val_batch_size, len(test_ds))
+            for s in range(0, min(len(test_ds), 4 * bs) - bs + 1, bs):
+                yield _finish_real(test_ds, list(range(s, s + bs)), rng_np)
     else:
         # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
         # output): host reader -> device-side finish_batch preprocessing.
@@ -229,7 +269,15 @@ def main(argv=None):
         model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
         train_reg_only=cfg.train_reg_only,
     )
-    if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+    if real_finetune:
+        from ..bodymodel import init_vposer_params
+        from .loop import make_real_twoview_step_fns
+
+        vposer_params = init_vposer_params(cfg.seed)  # or converted weights
+        train_step, eval_step = make_real_twoview_step_fns(
+            model, smplx_params, vposer_params, cfg, tx
+        )
+    elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
         train_step, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
     else:
         train_step, eval_step = make_singleview_step_fns(
@@ -291,7 +339,7 @@ def main(argv=None):
                       if mesh is None else shard_batch(vb, mesh))
                 vm, preds = eval_step(state, vb)
                 vals.append({k: float(v) for k, v in vm.items()})
-                if not summary_done and cfg.model in (
+                if not summary_done and not real_finetune and cfg.model in (
                     "copenet_twoview", "copenet_twoview_sep"
                 ):
                     # rendered mesh-overlay image summary (the reference's
