@@ -156,7 +156,9 @@ def main(argv=None):
     real_finetune = args.datapath.startswith("real://")
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
-        data = make_synthetic_dataset(smplx_params, n, seed=cfg.seed)
+        data = make_synthetic_dataset(
+            smplx_params, n, seed=cfg.seed, img_size=cfg.img_res
+        )
         n_train = max(1, int(n * 0.8))
 
         def train_batches():
@@ -298,7 +300,14 @@ def main(argv=None):
 
     # ---- mesh (data parallel when >1 device) ----
     devices = jax.devices()
-    mesh = make_mesh() if len(devices) > 1 else None
+    # use the largest device count that divides the batch (GSPMD needs the
+    # sharded dim divisible by the mesh size)
+    n_dev = next(
+        (d for d in range(min(len(devices), cfg.batch_size), 0, -1)
+         if cfg.batch_size % d == 0 and cfg.val_batch_size % d == 0),
+        1,
+    )
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
     if mesh is not None:
         state = jax.tree.map(
             lambda a: jax.device_put(a, replicate(mesh)), state
