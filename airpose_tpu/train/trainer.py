@@ -185,11 +185,18 @@ def main(argv=None):
         print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
         key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
 
+        from .. import constants as C
+
         def _finish_real(ds, idx, rng_np):
             hb = ds.host_batch(idx, rng_np)
             key_holder[0], sub = jax.random.split(key_holder[0])
             b = finish_batch(hb, sub, deterministic=True, margin=0.0)
             b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
+            # per-camera focal lengths (ref copenet_real/constants.py:12-13,
+            # used by the real loss's projection, copenet_twoview.py:300-306)
+            b["focal"] = jnp.asarray(
+                [C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1], dtype=jnp.float32
+            )
             return b
 
         def _train_batches_raw():
