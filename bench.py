@@ -75,9 +75,19 @@ def main():
         _, outs = jax.lax.scan(step, jnp.float32(0.0), None, length=N_ITERS)
         return outs[0].sum() + outs[1].sum()
 
-    float(chain(variables, x))  # warmup/compile (transfer = sync barrier)
+    def run_with_retry(fn, attempts=3):
+        # the axon backend occasionally throws transient FAILED_PRECONDITION
+        for i in range(attempts):
+            try:
+                return fn()
+            except Exception:
+                if i == attempts - 1:
+                    raise
+                time.sleep(30)
+
+    run_with_retry(lambda: float(chain(variables, x)))  # warmup/compile
     t0 = time.perf_counter()
-    result = float(chain(variables, x))
+    result = float(chain(variables, x))  # transfer = sync barrier
     dt = (time.perf_counter() - t0) / N_ITERS
     assert np.isfinite(result)
 
