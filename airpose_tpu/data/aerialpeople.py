@@ -70,27 +70,39 @@ class AerialPeopleDataset:
             betas[i] = np.asarray(db["smplshape"]).reshape(10)
             genders.append(str(db.get("smplgender", "neutral")).lower())
 
-        verts_out, joints_out = [], []
-        for s in range(0, n, batch):
-            e = min(s + batch, n)
-            pose_rm = batch_rodrigues(jnp.asarray(poses[s:e]).reshape(-1, 21, 3))
+        # Group sample indices by gender so each group runs through its own
+        # body model (the reference runs a per-sample gendered forward in
+        # every dataloader worker, aerialpeople.py:180-197).
+        n_verts = smplx_params.num_vertices
+        verts_all = np.zeros((n, n_verts, 3), np.float32)
+        joints_all = np.zeros((n, 127, 3), np.float32)
+        by_gender: Dict[str, List[int]] = {}
+        for i, g in enumerate(genders):
+            by_gender.setdefault(g, []).append(i)
+        for gender, idxs in by_gender.items():
             params = smplx_params
             if genders_to_params is not None:
-                # gendered splits processed per-majority; simple fallback:
-                params = genders_to_params.get(genders[s], smplx_params)
-            out = smplx_forward(
-                params,
-                jnp.asarray(betas[s:e]),
-                body_pose=pose_rm,
-                global_orient=jnp.broadcast_to(jnp.eye(3), (e - s, 1, 3, 3)),
-            )
-            verts_out.append(np.asarray(out.vertices))
-            joints_out.append(np.asarray(out.joints))
+                params = genders_to_params.get(gender, smplx_params)
+            for s in range(0, len(idxs), batch):
+                chunk = idxs[s : s + batch]
+                pose_rm = batch_rodrigues(
+                    jnp.asarray(poses[chunk]).reshape(-1, 21, 3)
+                )
+                out = smplx_forward(
+                    params,
+                    jnp.asarray(betas[chunk]),
+                    body_pose=pose_rm,
+                    global_orient=jnp.broadcast_to(
+                        jnp.eye(3), (len(chunk), 1, 3, 3)
+                    ),
+                )
+                verts_all[chunk] = np.asarray(out.vertices)
+                joints_all[chunk] = np.asarray(out.joints)
         self._gt_cache = {
             "pose_aa": poses,
             "betas": betas,
-            "vertices": np.concatenate(verts_out),
-            "joints": np.concatenate(joints_out),
+            "vertices": verts_all,
+            "joints": joints_all,
         }
         return self._gt_cache
 
