@@ -134,14 +134,16 @@ def init_vposer_params(seed: int = 0, dtype=jnp.float32) -> VPoserParams:
 
 # torch state-dict key → (field path) mapping for the released VPoser v2 ckpt
 # (human_body_prior VPoser module naming).
+# VPoser v2's encoder_net starts with a parameter-less BatchFlatten at
+# Sequential index 0, so the first parameterized layer is encoder_net.1.
 _TORCH_KEYMAP = {
-    "encoder_net.0": "enc_bn0",
-    "encoder_net.1": "enc_fc1",
-    "encoder_net.3": "enc_bn1",
-    "encoder_net.5": "enc_fc2",
-    "encoder_net.6": "enc_fc3",
-    "encoder_net.7.mu": "enc_mu",
-    "encoder_net.7.logvar": "enc_sigma",
+    "encoder_net.1": "enc_bn0",
+    "encoder_net.2": "enc_fc1",
+    "encoder_net.4": "enc_bn1",
+    "encoder_net.6": "enc_fc2",
+    "encoder_net.7": "enc_fc3",
+    "encoder_net.8.mu": "enc_mu",
+    "encoder_net.8.logvar": "enc_sigma",
     "decoder_net.0": "dec_fc1",
     "decoder_net.3": "dec_fc2",
     "decoder_net.5": "dec_out",

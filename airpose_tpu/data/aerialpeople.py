@@ -118,6 +118,7 @@ class AerialPeopleDataset:
             "context": np.zeros((B, 2, S, S, 3), np.uint8),
             "context_extent": np.zeros((B, 2, 2), np.float32),
             "context_origin": np.zeros((B, 2, 2), np.float32),
+            "context_scale": np.ones((B, 2), np.float32),
             "person_box": np.zeros((B, 2, 4), np.float32),
             "intr": np.zeros((B, 2, 3, 3), np.float32),
             "extr": np.zeros((B, 2, 3, 4), np.float32),
@@ -178,10 +179,17 @@ class AerialPeopleDataset:
                     if img is not None:
                         img = img[:, :, ::-1]
                         h, w = img.shape[:2]
-                        out["context"][b, v, : min(h, S), : min(w, S)] = (
-                            img[:S, :S]
-                        )
-                        out["context_extent"][b, v] = (min(w, S), min(h, S))
+                        # windows larger than the buffer are integer-
+                        # downsampled, not truncated (scale recorded so the
+                        # device pipeline keeps frame-pixel geometry)
+                        fscale = max(-(-max(h, w) // S), 1)
+                        if fscale > 1:
+                            img = img[::fscale, ::fscale]
+                            h, w = img.shape[:2]
+                            out["context_scale"][b, v] = fscale
+                            out["person_box"][b, v] /= fscale
+                        out["context"][b, v, :h, :w] = img
+                        out["context_extent"][b, v] = (w, h)
 
             if self._gt_cache is not None:
                 for key_src, key_dst in (("vertices", "gt_vertices"),

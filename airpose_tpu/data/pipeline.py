@@ -76,7 +76,7 @@ def jitter_crop_boxes(
     key,
     person_box: jnp.ndarray,   # (B, 4) [xmin, ymin, xmax, ymax] person bb, context coords
     context_extent: jnp.ndarray,  # (B, 2) [W, H] of valid context region
-    margin: float = 200.0,
+    margin=200.0,              # scalar or (B,) per-sample margin
     deterministic: bool = False,
 ) -> jnp.ndarray:
     """Random jitter-crop like ref dsets/aerialpeople.py:98-127: window =
@@ -86,6 +86,7 @@ def jitter_crop_boxes(
         person_box[:, 0], person_box[:, 1], person_box[:, 2], person_box[:, 3]
     )
     Wc, Hc = context_extent[:, 0], context_extent[:, 1]
+    margin = jnp.broadcast_to(jnp.asarray(margin, jnp.float32), xmin_p.shape)
     xmin = jnp.maximum(xmin_p - margin, 0.0)
     ymin = jnp.maximum(ymin_p - margin, 0.0)
     xmax = jnp.minimum(xmax_p + margin, Wc)
@@ -126,6 +127,7 @@ class Prefetcher:
         self._sharding = sharding
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
+        self._error = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -139,6 +141,8 @@ class Prefetcher:
                 else:
                     batch = jax.tree.map(jnp.asarray, batch)
                 self._q.put(batch)
+        except BaseException as e:  # surfaced in __next__, not swallowed
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -148,6 +152,8 @@ class Prefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None:
+                raise RuntimeError("Prefetcher worker failed") from self._error
             raise StopIteration
         return item
 
@@ -168,26 +174,43 @@ def finish_batch(
     B, V = ctx.shape[:2]
     flat = lambda a: a.reshape((B * V,) + a.shape[2:])
 
+    # context_scale: integer factor by which an oversized window was
+    # downsampled into the fixed context buffer (1 = native resolution)
+    f = flat(jnp.asarray(host_batch.get(
+        "context_scale", np.ones(ctx.shape[:2], np.float32))))
     boxes = jitter_crop_boxes(
         key,
         flat(jnp.asarray(host_batch["person_box"])),
         flat(jnp.asarray(host_batch["context_extent"])),
-        margin=margin,
+        margin=margin / f,
         deterministic=deterministic,
     )
-    images, scale = crop_resize_pad(flat(jnp.asarray(ctx)), boxes, out_size)
+    images, scale_ctx = crop_resize_pad(flat(jnp.asarray(ctx)), boxes, out_size)
+    # geometry bookkeeping is in FRAME pixels
+    scale = scale_ctx / f
 
     intr = jnp.asarray(host_batch["intr"])
     principal = flat(intr[..., :2, 2])
     origin = flat(jnp.asarray(host_batch["context_origin"]))
-    frame_boxes = boxes.at[:, :2].add(origin)
+    frame_boxes = (boxes * f[:, None]).at[:, :2].add(origin)
     bb = bb_encoding(frame_boxes, principal, scale)
 
     batch = {
         k: jnp.asarray(v)
         for k, v in host_batch.items()
-        if k not in ("context", "context_extent", "context_origin", "person_box")
+        if k not in ("context", "context_extent", "context_origin",
+                     "person_box", "context_scale")
     }
     batch["images"] = images.reshape(B, V, out_size, out_size, 3)
     batch["bb"] = bb.reshape(B, V, 3)
+    # Crop-frame keypoints (centered at 0, scaled): kp_crop = s·(uv − c)
+    # (ref dsets/copenet_real.py:226-227) — used by the single-view real
+    # losses.
+    if "gt_j2d_conf" in batch:
+        kp = batch["gt_j2d_conf"]
+        center = (frame_boxes[:, :2] + frame_boxes[:, 2:] / 2.0).reshape(B, V, 1, 2)
+        uv_crop = scale.reshape(B, V, 1, 1) * (kp[..., :2] - center)
+        batch["gt_j2d_crop_conf"] = jnp.concatenate(
+            [uv_crop, kp[..., 2:]], axis=-1
+        )
     return batch

@@ -156,6 +156,7 @@ class CopenetRealDataset:
             "context": np.zeros((B, 2, S, S, 3), np.uint8),
             "context_extent": np.zeros((B, 2, 2), np.float32),
             "context_origin": np.zeros((B, 2, 2), np.float32),
+            "context_scale": np.ones((B, 2), np.float32),
             "person_box": np.zeros((B, 2, 4), np.float32),
             "intr": np.zeros((B, 2, 3, 3), np.float32),
             "extr": np.zeros((B, 2, 4, 4), np.float32),
@@ -193,5 +194,12 @@ class CopenetRealDataset:
                     if img is not None:
                         crop = img[ymin:ymax, xmin:xmax, ::-1]
                         h, w = crop.shape[:2]
-                        out["context"][b, v, : min(h, S), : min(w, S)] = crop[:S, :S]
+                        fscale = max(-(-max(h, w) // S), 1)
+                        if fscale > 1:
+                            crop = crop[::fscale, ::fscale]
+                            h, w = crop.shape[:2]
+                            out["context_scale"][b, v] = fscale
+                            out["person_box"][b, v] /= fscale
+                            out["context_extent"][b, v] = (w, h)
+                        out["context"][b, v, :h, :w] = crop
         return out

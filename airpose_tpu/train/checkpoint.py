@@ -7,6 +7,7 @@ deadline checkpoint-exit-resume cycle (ref copenet_trainer_cluster.py:44-60
 — see `train/elastic.py`).
 """
 
+import json
 import os
 from typing import Any, Dict, Optional
 
@@ -24,7 +25,13 @@ class CheckpointManager:
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self._ckpt = ocp.StandardCheckpointer()
+        # best_val survives preemption restarts so a resumed run cannot
+        # overwrite `best` with a worse state
+        self._meta_path = os.path.join(self.directory, "best_val.json")
         self.best_val = float("inf")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                self.best_val = float(json.load(f)["best_val"])
 
     def _path(self, name: str) -> str:
         return os.path.join(self.directory, name)
@@ -39,6 +46,8 @@ class CheckpointManager:
         if val_loss < self.best_val:
             self.best_val = val_loss
             self.save(state, "best")
+            with open(self._meta_path, "w") as f:
+                json.dump({"best_val": self.best_val}, f)
 
     def restore(self, template: TrainState, name: str = "last") -> Optional[TrainState]:
         path = self._path(name)

@@ -256,8 +256,6 @@ def make_real_singleview_step_fns(
             return out, mutated["batch_stats"]
         return model.apply(variables, images, iters=cfg.reg_iters), batch_stats
 
-    swap = family.startswith("hmr_camswap")
-
     @_ft.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
     def train_step(state: TrainState, batch, key, view: int = 0):
         k_vp, k_drop = jax.random.split(key)

@@ -95,6 +95,40 @@ def make_config(args):
     )
 
 
+class _JsonlWriter:
+    """Fallback metrics writer (one JSON object per scalar/step) when the
+    optional torch TensorBoard writer is unavailable."""
+
+    def __init__(self, run_dir):
+        import io
+
+        self._f = open(os.path.join(run_dir, "metrics.jsonl"), "a")
+
+    def add_scalar(self, tag, value, step):
+        import json
+
+        self._f.write(json.dumps({"tag": tag, "value": float(value),
+                                  "step": int(step)}) + "\n")
+        self._f.flush()
+
+    def add_image(self, *a, **k):
+        pass
+
+    def close(self):
+        self._f.close()
+
+
+def _make_writer(run_dir):
+    """TensorBoard writer if torch is present (host-side logging only — the
+    compute path stays torch-free), else JSON-lines scalars."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(run_dir)
+    except Exception:
+        return _JsonlWriter(run_dir)
+
+
 def _summary_overlay(smplx_params, batch, preds):
     """Render sample 0 / view 0's predicted mesh over its input crop."""
     import jax.numpy as jnp
@@ -144,8 +178,20 @@ def main(argv=None):
     os.makedirs(run_dir, exist_ok=True)
 
     # ---- body model ----
+    genders_to_params = None
     if args.smplx_model_dir:
-        smplx_params = load_smplx_npz(args.smplx_model_dir)
+        smplx_params = load_smplx_npz(args.smplx_model_dir, gender="neutral") \
+            if os.path.exists(os.path.join(args.smplx_model_dir, "SMPLX_NEUTRAL.npz")) \
+            else load_smplx_npz(args.smplx_model_dir)
+        # gendered GT (the reference runs gendered SMPL-X per sample,
+        # aerialpeople.py:180-197)
+        genders_to_params = {}
+        for g in ("male", "female", "neutral"):
+            p = os.path.join(args.smplx_model_dir, f"SMPLX_{g.upper()}.npz")
+            if os.path.exists(p):
+                genders_to_params[g] = load_smplx_npz(args.smplx_model_dir, gender=g)
+        if not genders_to_params:
+            genders_to_params = None
     else:
         small = args.datapath.startswith("synthetic://")
         smplx_params = synthetic_smplx_params(
@@ -179,8 +225,10 @@ def main(argv=None):
         from ..data.pipeline import finish_batch
 
         path = args.datapath[len("real://"):]
+        # fixed camera order: the per-view focal lengths differ (the
+        # reference also trains the real twoview with shuffle_cams=False)
         train_ds = CopenetRealDataset(
-            path, frame_range=range(*args.train_frames), shuffle_cams=True)
+            path, frame_range=range(*args.train_frames), shuffle_cams=False)
         test_ds = CopenetRealDataset(path, frame_range=range(*args.test_frames))
         print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
         key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
@@ -224,8 +272,8 @@ def main(argv=None):
         train_ds = AerialPeopleDataset(args.datapath, "train")
         test_ds = AerialPeopleDataset(args.datapath, "test")
         print(f"loaded {len(train_ds)} train / {len(test_ds)} test samples")
-        train_ds.precompute_canonical_gt(smplx_params)
-        test_ds.precompute_canonical_gt(smplx_params)
+        train_ds.precompute_canonical_gt(smplx_params, genders_to_params)
+        test_ds.precompute_canonical_gt(smplx_params, genders_to_params)
         key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
 
         def _finish(ds, idx, rng_np, deterministic):
@@ -280,12 +328,32 @@ def main(argv=None):
     )
     if real_finetune:
         from ..bodymodel import init_vposer_params
-        from .loop import make_real_twoview_step_fns
+        from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
 
         vposer_params = init_vposer_params(cfg.seed)  # or converted weights
-        train_step, eval_step = make_real_twoview_step_fns(
-            model, smplx_params, vposer_params, cfg, tx
-        )
+        if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+            train_step, eval_step = make_real_twoview_step_fns(
+                model, smplx_params, vposer_params, cfg, tx
+            )
+        elif cfg.model == "hmr":
+            # the real trainer's --model=hmr alias is the camera-swapped
+            # variant (ref copenet_real/copenet_trainer.py:32-38): the view
+            # alternates per step (the "camswap" training regime)
+            _step, eval_step = make_real_singleview_step_fns(
+                model, smplx_params, vposer_params, cfg, tx,
+                "hmr_camswap_difffl",
+            )
+            _counter = [0]
+
+            def train_step(state, batch, key):
+                view = _counter[0] % 2
+                _counter[0] += 1
+                return _step(state, batch, key, view)
+        else:
+            raise SystemExit(
+                f"--model {cfg.model} has no real:// fine-tune path "
+                "(use copenet_twoview[_sep] or hmr)"
+            )
     elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
         train_step, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
     else:
@@ -301,7 +369,11 @@ def main(argv=None):
         restored = ocp.StandardCheckpointer().restore(
             os.path.abspath(args.pretrained_checkpoint), state
         )
-        state = restored
+        # warm start: take params + batch stats, keep a fresh step counter
+        # and optimizer state (the objective may differ — fine-tune)
+        state = state.replace(
+            params=restored.params, batch_stats=restored.batch_stats
+        )
     state = ckpts.auto_resume(state)
     start_step = int(jax.device_get(state.step))
 
@@ -321,9 +393,7 @@ def main(argv=None):
         )
 
     # ---- logging ----
-    from torch.utils.tensorboard import SummaryWriter
-
-    writer = SummaryWriter(run_dir)
+    writer = _make_writer(run_dir)
     guard = DeadlineGuard(args.time_to_run)
     key = jax.random.PRNGKey(cfg.seed)
 

@@ -192,9 +192,11 @@ def test_vposer_torch_conversion_roundtrip(rng):
         sd[prefix + ".running_mean"] = torch.randn(n)
         sd[prefix + ".running_var"] = torch.rand(n) + 0.5
 
-    bn("encoder_net.0", 63); lin("encoder_net.1", 63, 512); bn("encoder_net.3", 512)
-    lin("encoder_net.5", 512, 512); lin("encoder_net.6", 512, 512)
-    lin("encoder_net.7.mu", 512, 32); lin("encoder_net.7.logvar", 512, 32)
+    # released VPoser v2 layout: encoder_net.0 is a parameter-less
+    # BatchFlatten, so parameterized layers start at index 1
+    bn("encoder_net.1", 63); lin("encoder_net.2", 63, 512); bn("encoder_net.4", 512)
+    lin("encoder_net.6", 512, 512); lin("encoder_net.7", 512, 512)
+    lin("encoder_net.8.mu", 512, 32); lin("encoder_net.8.logvar", 512, 32)
     lin("decoder_net.0", 32, 512); lin("decoder_net.3", 512, 512)
     lin("decoder_net.5", 512, 126)
 
@@ -211,12 +213,12 @@ def test_vposer_torch_conversion_roundtrip(rng):
     def lrelu(v):
         return np.where(v > 0, v, 0.01 * v)
 
-    h = np_bn(x, "encoder_net.0")
-    h = lrelu(np_lin(h, "encoder_net.1"))
-    h = np_bn(h, "encoder_net.3")
-    h = np_lin(h, "encoder_net.5")
+    h = np_bn(x, "encoder_net.1")
+    h = lrelu(np_lin(h, "encoder_net.2"))
+    h = np_bn(h, "encoder_net.4")
     h = np_lin(h, "encoder_net.6")
-    want_mu = np_lin(h, "encoder_net.7.mu")
+    h = np_lin(h, "encoder_net.7")
+    want_mu = np_lin(h, "encoder_net.8.mu")
 
     mu, sigma = vposer_encode(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(mu), want_mu, rtol=1e-3, atol=1e-4)

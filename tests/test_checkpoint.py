@@ -242,3 +242,21 @@ def test_full_twoview_conversion_parity(rng):
     out = model.apply(merged, jnp.asarray(x), jnp.asarray(bb), jnp.asarray(pos))
     np.testing.assert_allclose(np.asarray(out.pose), want_pose, atol=5e-3)
     np.testing.assert_allclose(np.asarray(out.betas), want_shape, atol=5e-3)
+
+
+def test_best_val_persists_across_manager_restarts(tmp_path):
+    from airpose_tpu.train.state import TrainState
+
+    state = TrainState(step=1, params={"w": jnp.ones(2)}, batch_stats={},
+                       opt_state={})
+    d = str(tmp_path / "ck")
+    m1 = CheckpointManager(d)
+    m1.save_with_val(state, val_loss=0.8)
+
+    # simulate preemption restart: fresh manager, first val is worse
+    m2 = CheckpointManager(d)
+    assert m2.best_val == 0.8
+    worse = state.replace(step=2, params={"w": jnp.zeros(2)})
+    m2.save_with_val(worse, val_loss=1.5)
+    best = m2.restore(jax.tree.map(jnp.zeros_like, state), "best")
+    np.testing.assert_array_equal(np.asarray(best.params["w"]), np.ones(2))

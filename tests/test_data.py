@@ -261,3 +261,18 @@ def test_prefetcher_orders_and_terminates():
     assert len(out) == 5
     for i, b in enumerate(out):
         assert int(np.asarray(b["x"])[0]) == i
+
+
+def test_prefetcher_propagates_worker_errors():
+    def bad():
+        yield {"x": np.ones(2)}
+        raise ValueError("corrupt sample")
+
+    from airpose_tpu.data.pipeline import Prefetcher
+
+    it = Prefetcher(bad())
+    next(it)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        next(it)

@@ -184,7 +184,11 @@ def test_geman_mcclure_limits():
     r = jnp.asarray([0.0, 1e6])
     out = np.asarray(geman_mcclure(r, 30.0))
     assert out[0] == 0.0
-    np.testing.assert_allclose(out[1], 900.0, rtol=1e-3)  # saturates at σ²
+    np.testing.assert_allclose(out[1], 1.0, rtol=1e-3)  # saturates at 1 (ref)
+    # and matches the reference formula at a mid-range residual
+    np.testing.assert_allclose(
+        np.asarray(geman_mcclure(jnp.asarray([30.0]), 30.0)), 0.5, rtol=1e-6
+    )
 
 
 def test_estimate_translation_recovers_truth(rng):
