@@ -5,7 +5,8 @@ from .smplx import (
     smplx_forward,
     synthetic_smplx_params,
 )
-from .vposer import VPoserParams, vposer_decode, vposer_encode, init_vposer_params
+from .vposer import (VPoserParams, vposer_decode, vposer_encode,
+                     init_vposer_params, load_vposer_ckpt)
 
 __all__ = [
     "SMPLXOutput",
@@ -17,4 +18,5 @@ __all__ = [
     "vposer_decode",
     "vposer_encode",
     "init_vposer_params",
+    "load_vposer_ckpt",
 ]

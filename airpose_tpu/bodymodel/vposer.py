@@ -150,6 +150,24 @@ _TORCH_KEYMAP = {
 }
 
 
+def load_vposer_ckpt(path: str, dtype=jnp.float32) -> VPoserParams:
+    """Load released VPoser v2 weights from a torch snapshot (the
+    human_body_prior V02_05 `.ckpt`, whose state-dict keys carry a
+    'vp_model.' prefix that the reference strips at load time — ref
+    copenet_real/copenet_twoview.py:21-24 `load_model(...,
+    remove_words_in_model_weights="vp_model.")`) or from an `.npz` with the
+    same (already-stripped) keys."""
+    if path.endswith(".npz"):
+        blob = dict(np.load(path))
+    else:
+        import torch  # host-side weight loading only — not the compute path
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        blob = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k.replace("vp_model.", ""): v for k, v in blob.items()}
+    return convert_torch_state_dict(sd, dtype)
+
+
 def convert_torch_state_dict(state_dict, dtype=jnp.float32) -> VPoserParams:
     """Convert a torch VPoser v2 state dict (tensors or ndarrays) to
     VPoserParams. Linear weights are transposed to (in, out)."""

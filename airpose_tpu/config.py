@@ -47,7 +47,6 @@ class TrainConfig:
     reg_iters: int = 3               # --reg_iters
     img_res: int = 224               # --img_res
     smpltrans_noise_sigma: Optional[float] = None  # --smpltrans_noise_sigma
-    theta_noise_sigma: float = 0.2
     trans_scale: float = 0.05        # distance scaling (copenet_twoview.py:201)
     summary_steps: int = 500
     checkpoint_steps: int = 10000

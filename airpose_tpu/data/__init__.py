@@ -1,4 +1,5 @@
 from .aerialpeople import AerialPeopleDataset
+from .aircap import AircapDataset
 from .pipeline import (
     Prefetcher,
     bb_encoding,
@@ -11,6 +12,7 @@ from .synthetic import batch_slice, make_synthetic_dataset
 
 __all__ = [
     "AerialPeopleDataset",
+    "AircapDataset",
     "CopenetRealDataset",
     "Prefetcher",
     "bb_encoding",

@@ -106,11 +106,30 @@ class AerialPeopleDataset:
         }
         return self._gt_cache
 
-    def host_batch(self, indices, rng: np.random.Generator,
-                   swap_cams: bool = True, decode_images: bool = True) -> Dict:
-        """Assemble a host batch: fixed-size uint8 context windows + GT in
-        the canonical layout. Device-side ops finish preprocessing."""
+    def _load_decoded(self, idx: int, decode_images: bool):
+        """Load one sample pkl + decode its two view images (RGB) — the
+        per-sample IO/JPEG work parallelized across `host_batch`'s thread
+        pool (the role of the reference's 8-30 DataLoader worker processes,
+        ref copenet_twoview.py:427-443, without the process boundary:
+        cv2.imread releases the GIL during decode)."""
         import cv2
+
+        db = self.load_sample(idx)
+        imgs = [None, None]
+        if decode_images:
+            for cam in (0, 1):
+                img = cv2.imread(os.path.join(self.data_root, db[f"im{cam}"]))
+                if img is not None:
+                    imgs[cam] = img[:, :, ::-1]
+        return db, imgs
+
+    def host_batch(self, indices, rng: np.random.Generator,
+                   swap_cams: bool = True, decode_images: bool = True,
+                   num_threads: int = 8) -> Dict:
+        """Assemble a host batch: fixed-size uint8 context windows + GT in
+        the canonical layout. Device-side ops finish preprocessing. Sample
+        IO + JPEG decode run on a thread pool (num_threads)."""
+        from concurrent.futures import ThreadPoolExecutor
 
         B = len(indices)
         S = self.context_size
@@ -128,18 +147,30 @@ class AerialPeopleDataset:
             "gt_betas": np.zeros((B, 10), np.float32),
             "gt_j2d": np.zeros((B, 2, 24, 2), np.float32),
         }
+        # rng draws happen sequentially up front so the thread pool cannot
+        # perturb determinism
+        orders = [
+            (1, 0) if swap_cams and rng.integers(2) == 1 else (0, 1)
+            for _ in indices
+        ]
+        if num_threads > 1 and len(indices) > 1:
+            with ThreadPoolExecutor(num_threads) as ex:
+                loaded = list(ex.map(
+                    lambda i: self._load_decoded(i, decode_images), indices
+                ))
+        else:
+            loaded = [self._load_decoded(i, decode_images) for i in indices]
+
         pose_rm_all = np.asarray(
             batch_rodrigues(
                 np.stack(
-                    [self.load_sample(i)["smplpose"].reshape(21, 3) for i in indices]
+                    [db["smplpose"].reshape(21, 3) for db, _ in loaded]
                 )
             )
         )
         for b, idx in enumerate(indices):
-            db = self.load_sample(idx)
-            order = (0, 1)
-            if swap_cams and rng.integers(2) == 1:
-                order = (1, 0)
+            db, imgs = loaded[b]
+            order = orders[b]
             out["gt_pose_rotmat"][b] = pose_rm_all[b]
             out["gt_betas"][b] = db["smplshape"].reshape(10)
             for v, cam in enumerate(order):
@@ -173,11 +204,8 @@ class AerialPeopleDataset:
                 ]
 
                 if decode_images:
-                    img = cv2.imread(
-                        os.path.join(self.data_root, db[f"im{cam}"])
-                    )
+                    img = imgs[cam]
                     if img is not None:
-                        img = img[:, :, ::-1]
                         h, w = img.shape[:2]
                         # windows larger than the buffer are integer-
                         # downsampled, not truncated (scale recorded so the

@@ -213,4 +213,11 @@ def finish_batch(
         batch["gt_j2d_crop_conf"] = jnp.concatenate(
             [uv_crop, kp[..., 2:]], axis=-1
         )
+    if "gt_j2d" in batch:
+        # crop-frame GT keypoints for the weak-cam families
+        # (same convention: kp_crop = s·(uv − crop_center))
+        center = (frame_boxes[:, :2] + frame_boxes[:, 2:] / 2.0).reshape(B, V, 1, 2)
+        batch["gt_j2d_crop"] = (
+            scale.reshape(B, V, 1, 1) * (batch["gt_j2d"][..., :2] - center)
+        )
     return batch

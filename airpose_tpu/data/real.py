@@ -147,7 +147,9 @@ class CopenetRealDataset:
         return {"openpose": self.opose[:, idx], "alphapose": self.apose[:, idx]}
 
     def host_batch(self, indices, rng: np.random.Generator,
-                   decode_images: bool = True) -> Dict:
+                   decode_images: bool = True, num_threads: int = 8) -> Dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         import cv2
 
         B = len(indices)
@@ -163,12 +165,32 @@ class CopenetRealDataset:
             "gt_j2d_conf": np.zeros((B, 2, 24, 3), np.float32),
             "gt_j2d_alpha": np.zeros((B, 2, 24, 3), np.float32),
         }
-        for b, idx in enumerate(indices):
+        orders = []
+        for _ in indices:
             order = (0, 1)
             if self.shuffle_cams and rng.integers(2) == 1:
                 order = (1, 0)
             elif self.first_cam == 1:
                 order = (1, 0)
+            orders.append(order)
+        # frame JPEG decode on a thread pool (the role of the reference's
+        # DataLoader workers; cv2.imread releases the GIL)
+        decoded = {}
+        if decode_images:
+            jobs = [(cam, idx) for idx in indices for cam in (0, 1)]
+
+            def _read(job):
+                cam, idx = job
+                return job, cv2.imread(self.image_paths[cam][idx])
+
+            if num_threads > 1 and len(jobs) > 1:
+                with ThreadPoolExecutor(num_threads) as ex:
+                    decoded = dict(ex.map(_read, jobs))
+            else:
+                decoded = dict(map(_read, jobs))
+
+        for b, idx in enumerate(indices):
+            order = orders[b]
             for v, cam in enumerate(order):
                 out["intr"][b, v] = self.intr[cam]
                 out["extr"][b, v] = self.extr[cam, idx]
@@ -190,7 +212,7 @@ class CopenetRealDataset:
                 out["context_extent"][b, v] = (xmax - xmin, ymax - ymin)
                 if decode_images:
                     # ``idx`` is positional within this split's frame list.
-                    img = cv2.imread(self.image_paths[cam][idx])
+                    img = decoded.get((cam, idx))
                     if img is not None:
                         crop = img[ymin:ymax, xmin:xmax, ::-1]
                         h, w = crop.shape[:2]

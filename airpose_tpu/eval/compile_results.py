@@ -1,27 +1,34 @@
 """Results compilation — the reference `*_res_compile.py` scripts (SURVEY.md
 §2.6) as one CLI.
 
-Runs a checkpoint over the eval data, prints MPJPE / MPE (exactly the
-reference's test_epoch_end formulas) plus PA-MPJPE, and dumps the
-reference-compatible "outputs" pkl — the interchange format consumed by the
-AirPose+ initializer and the paper-figure tooling (ref
-copenet/copenet_twoview.py:328-350, scripts/copenet_synth_res_compile.py):
+Runs a checkpoint over eval data, prints MPJPE / MPE (exactly the reference's
+test_epoch_end formulas) plus PA-MPJPE, and dumps the reference-compatible
+"outputs" pkl — the interchange format consumed by the AirPose+ initializer
+and the paper-figure tooling (ref copenet/copenet_twoview.py:328-350,
+scripts/copenet_synth_res_compile.py):
 
     [ [ {"output": {tensor dict}} per batch ]  per split ]
 
-with keys pred_angles0/1, pred_smpltrans0/1, pred_betas0/1, gt_angles0/1,
-gt_smpltrans0/1, in_smpltrans0/1, smplorient_rel0/1, smplpose_rotmat
-(+ optional vertices/j2d/j3d with --save-full).
+with keys pred_angles0/1, pred_smpltrans0/1, pred_betas0/1, pred_pose0/1,
+gt_angles0/1, gt_smpltrans0/1, in_smpltrans0/1, smplorient_rel0/1,
+smplpose_rotmat (+ optional vertices with --save-full).
+
+Data paths (mirroring the reference script family):
+  synthetic://N          generated fixture data (smoke/bench)
+  /path/to/aerialpeople  on-disk pkl dataset — copenet_synth_res_compile.py
+  real:///path           DJI real layout — copenet_real_res_compile.py,
+                         incl. the robust-frame cross-view consistency
+                         metric (`err_idcs`, ref :139-143)
 
 Usage:
   python -m airpose_tpu.eval.compile_results --model copenet_twoview \
-      --ckpt <orbax dir> --datapath synthetic://64 --out results.pkl
+      --ckpt <orbax dir> --datapath <path> --split test train --out results.pkl
 """
 
 import argparse
 import os
 import pickle
-from typing import Dict, List
+from typing import Dict, Iterable, List, Optional
 
 import numpy as np
 
@@ -42,13 +49,73 @@ def outputs_to_ba_init(outputs: List[Dict], vposer_params):
     return init_from_predictions(vposer_params, aa, trans)
 
 
-def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
+# ---------------------------------------------------------------------------
+# batch sources
+# ---------------------------------------------------------------------------
+
+def synthetic_batches(data: Dict, batch_size: int) -> Iterable[Dict]:
+    from ..data import batch_slice
+
+    n = data["images"].shape[0]
+    for s in range(0, n - batch_size + 1, batch_size):
+        yield batch_slice(data, s, batch_size)
+
+
+def aerialpeople_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
+    """Deterministic on-disk eval batches: no camera swap, no crop jitter —
+    the parity-defined eval path (SURVEY.md §7 risks). Mirrors the trainer's
+    on-disk _finish with deterministic=True."""
+    import jax
+
+    from ..data.pipeline import finish_batch
+
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    n = len(ds)
+    for s in range(0, n - batch_size + 1, batch_size):
+        idx = list(range(s, s + batch_size))
+        hb = ds.host_batch(idx, rng_np, swap_cams=False)
+        hb["gt_vertices"] = ds._gt_cache["vertices"][idx]
+        hb["gt_joints"] = ds._gt_cache["joints"][idx]
+        hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
+        yield finish_batch(hb, key, deterministic=True, out_size=out_size)
+
+
+def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
+    """Deterministic real-data eval batches (pinned camera order — the
+    dataset was constructed with first_cam; ref copenet_real_res_compile.py
+    evaluates with shuffle_cams off)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..data.pipeline import finish_batch
+
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    focal = jnp.asarray(
+        [C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1], dtype=jnp.float32
+    )
+    n = len(ds)
+    for s in range(0, n - batch_size + 1, batch_size):
+        hb = ds.host_batch(list(range(s, s + batch_size)), rng_np)
+        b = finish_batch(hb, key, deterministic=True, margin=0.0,
+                         out_size=out_size)
+        b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
+        b["focal"] = focal
+        yield b
+
+
+# ---------------------------------------------------------------------------
+# compile passes
+# ---------------------------------------------------------------------------
+
+def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
                     save_full=False):
     """Eval every batch, return (outputs list, metrics dict)."""
     import jax
     import jax.numpy as jnp
 
-    from ..data import batch_slice
     from ..eval.metrics import twoview_eval_metrics
     from ..geometry.rotations import rotmat_to_aa
     from ..train.loop import make_twoview_step_fns
@@ -57,11 +124,11 @@ def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
 
-    n = data["images"].shape[0]
     outputs = []
     all_pred_rotmat, all_pred_betas, all_pred_trans = [], [], []
-    for s in range(0, n - batch_size + 1, batch_size):
-        batch = batch_slice(data, s, batch_size)
+    gt_pose_l, gt_orient_l, gt_betas_l, gt_trans_l = [], [], [], []
+    for batch in batches:
+        B = int(batch["images"].shape[0])
         _, preds = eval_step(state, batch)
         pred_rotmat = np.asarray(preds["pred_rotmat"])
         pred_trans = np.asarray(preds["pred_trans"])
@@ -83,8 +150,8 @@ def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
             "gt_angles0": gt_angles[:, 0], "gt_angles1": gt_angles[:, 1],
             "gt_smpltrans0": np.asarray(batch["gt_trans"])[:, 0],
             "gt_smpltrans1": np.asarray(batch["gt_trans"])[:, 1],
-            "in_smpltrans0": np.tile([0, 0, 10.0], (batch_size, 1)).astype(np.float32),
-            "in_smpltrans1": np.tile([0, 0, 10.0], (batch_size, 1)).astype(np.float32),
+            "in_smpltrans0": np.tile([0, 0, 10.0], (B, 1)).astype(np.float32),
+            "in_smpltrans1": np.tile([0, 0, 10.0], (B, 1)).astype(np.float32),
             "smplorient_rel0": gt_orient[:, 0:1],
             "smplorient_rel1": gt_orient[:, 1:2],
             "smplpose_rotmat": gt_pose,
@@ -92,7 +159,6 @@ def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
         if save_full:
             from ..bodymodel.smplx import smplx_forward
 
-            B = pred_betas.shape[0]
             body = smplx_forward(
                 smplx_params,
                 jnp.asarray(pred_betas.reshape(B * 2, 10)),
@@ -107,24 +173,27 @@ def compile_twoview(state, model, smplx_params, data, batch_size, cfg,
         all_pred_rotmat.append(pred_rotmat)
         all_pred_betas.append(pred_betas)
         all_pred_trans.append(pred_trans)
+        gt_pose_l.append(gt_pose)
+        gt_orient_l.append(gt_orient)
+        gt_betas_l.append(np.asarray(batch["gt_betas"]))
+        gt_trans_l.append(np.asarray(batch["gt_trans"]))
 
     pred_rotmat = np.concatenate(all_pred_rotmat)
     pred_betas = np.concatenate(all_pred_betas)
     pred_trans = np.concatenate(all_pred_trans)
-    n_eval = pred_rotmat.shape[0]
     metrics = twoview_eval_metrics(
         smplx_params,
         jnp.asarray(pred_rotmat), jnp.asarray(pred_betas), jnp.asarray(pred_trans),
-        jnp.asarray(data["gt_pose_rotmat"][:n_eval]),
-        jnp.asarray(data["gt_orient"][:n_eval]),
-        jnp.asarray(data["gt_betas"][:n_eval]),
-        jnp.asarray(data["gt_trans"][:n_eval]),
+        jnp.asarray(np.concatenate(gt_pose_l)),
+        jnp.asarray(np.concatenate(gt_orient_l)),
+        jnp.asarray(np.concatenate(gt_betas_l)),
+        jnp.asarray(np.concatenate(gt_trans_l)),
     )
     return outputs, {k: float(v) for k, v in metrics.items()}
 
 
-def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
-                       family):
+def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
+                       cfg, family):
     """Eval the hmr / muhmr / copenet_singleview families: outputs pkl in
     the reference single-view format (pred_angles, pred_smpltrans via the
     weak-cam reprojection for the weak families — ref hmr.py:178-193,
@@ -133,7 +202,6 @@ def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
     import jax.numpy as jnp
 
     from .. import constants as C
-    from ..data import batch_slice
     from ..eval.metrics import canonical_joints, mpe, mpjpe, pa_mpjpe
     from ..geometry.projection import weak_cam_crop_to_full_trans
     from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
@@ -143,11 +211,10 @@ def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
 
-    n = data["images"].shape[0]
     outputs = []
-    rms, betas_all, trans_all = [], [], []
-    for s0 in range(0, n - batch_size + 1, batch_size):
-        batch = batch_slice(data, s0, batch_size)
+    rms, betas_all, trans_all, gt_trans_all = [], [], [], []
+    for batch in batches:
+        B = int(batch["images"].shape[0])
         _, out = eval_step(state, batch)
         if family == "copenet_singleview":
             pose = np.asarray(out.pose)
@@ -156,7 +223,7 @@ def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
         else:
             rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(out.pose6d).reshape(-1, 22, 6)))
             if family == "muhmr":
-                rotmat = rotmat.reshape(batch_size, 2, 22, 3, 3)[:, 0]
+                rotmat = rotmat.reshape(B, 2, 22, 3, 3)[:, 0]
                 cam = np.asarray(out.cam)[:, 0]
                 bb = np.asarray(batch["bb"])[:, 0]
             else:
@@ -182,6 +249,7 @@ def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
         rms.append((rotmat, gt_rm))
         betas_all.append(betas)
         trans_all.append(trans)
+        gt_trans_all.append(np.asarray(batch["gt_trans"])[:, 0])
 
     pred_rm = np.concatenate([r[0] for r in rms])
     gt_rm = np.concatenate([r[1] for r in rms])
@@ -192,21 +260,156 @@ def compile_singleview(state, model, smplx_params, data, batch_size, cfg,
         "mpjpe": float(mpjpe(pj, gj)),
         "pa_mpjpe": float(pa_mpjpe(pj, gj)),
         "mpe": float(mpe(jnp.asarray(np.concatenate(trans_all)),
-                         jnp.asarray(data["gt_trans"][:N, 0]))),
+                         jnp.asarray(np.concatenate(gt_trans_all)))),
     }
     return outputs, metrics
 
+
+def robust_crossview_consistency(
+    smplx_params,
+    pred_rotmat: np.ndarray,   # (N, 2, 22, 3, 3)
+    pred_betas: np.ndarray,    # (N, 2, 10)
+    extr: np.ndarray,          # (N, 2, 4, 4) per-frame camera extrinsics
+    err_idcs: np.ndarray,      # (N,) bool robust-frame mask
+) -> float:
+    """The reference's real-data accuracy proxy (no 3D GT): root-relative
+    3D joints of each view transformed into the world frame must agree —
+    mean per-joint L2 over robust frames
+    (ref copenet_real_res_compile.py:139-143: world-frame
+    ``j3d_wrt_origin − trans_wrt_origin`` per view, differenced over
+    err_idcs). Root-relative world joints reduce to R_extrᵀ · canonical
+    joints (the translations cancel)."""
+    import jax.numpy as jnp
+
+    from ..eval.metrics import canonical_joints
+
+    N = pred_rotmat.shape[0]
+    pj = canonical_joints(
+        smplx_params,
+        jnp.asarray(pred_betas.reshape(N * 2, 10)),
+        jnp.asarray(pred_rotmat.reshape(N * 2, 22, 3, 3)),
+    ).reshape(N, 2, 22, 3)
+    R = jnp.asarray(extr[:, :, :3, :3])
+    world = jnp.einsum("nvji,nvkj->nvki", R, pj, precision="highest")
+    d = jnp.sqrt(jnp.sum((world[:, 0] - world[:, 1]) ** 2, axis=-1))  # (N, 22)
+    mask = jnp.asarray(err_idcs, jnp.float32)[:, None]
+    return float((d * mask).sum() / jnp.maximum(mask.sum() * d.shape[1], 1.0))
+
+
+def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
+                         batch_size: int, cfg, save_full=False,
+                         err_idcs: Optional[np.ndarray] = None,
+                         out_size: int = 224):
+    """Real-data (self-supervised regime) compile: outputs pkl with the raw
+    135-d pose state per view (the benchtest interchange,
+    ref copenet_real_res_compile.py:264-276) + the robust cross-view
+    consistency metric. No 3D GT exists on this path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..geometry.rotations import rotmat_to_aa
+    from ..train.loop import make_real_twoview_step_fns
+    from ..train.state import make_optimizer
+
+    tx = make_optimizer(cfg.lr)
+    _, eval_step = make_real_twoview_step_fns(
+        model, smplx_params, vposer_params, cfg, tx
+    )
+
+    outputs = []
+    losses = []
+    all_rotmat, all_betas, all_trans, all_extr = [], [], [], []
+    from ..geometry.rotations import rot6d_to_rotmat
+
+    for batch in real_batches(ds, batch_size, out_size=out_size):
+        B = int(batch["images"].shape[0])
+        metrics, out = eval_step(state, batch)
+        losses.append(float(metrics["loss"]))
+        pose = np.asarray(out.pose)
+        betas = np.asarray(out.betas)
+        trans = pose[..., :3] / cfg.trans_scale
+        rotmat = np.asarray(
+            rot6d_to_rotmat(jnp.asarray(pose[..., 3:]).reshape(B, 2, 22, 6))
+        )
+        angles = np.asarray(rotmat_to_aa(jnp.asarray(rotmat)))
+        rec = {
+            "pred_pose0": pose[:, 0], "pred_pose1": pose[:, 1],
+            "pred_angles0": angles[:, 0], "pred_angles1": angles[:, 1],
+            "pred_smpltrans0": trans[:, 0], "pred_smpltrans1": trans[:, 1],
+            "pred_betas0": betas[:, 0], "pred_betas1": betas[:, 1],
+        }
+        if save_full:
+            from ..bodymodel.smplx import smplx_forward
+
+            body = smplx_forward(
+                smplx_params,
+                jnp.asarray(betas.reshape(B * 2, 10)),
+                body_pose=jnp.asarray(rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
+                global_orient=jnp.asarray(rotmat[:, :, :1].reshape(B * 2, 1, 3, 3)),
+            )
+            verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
+            rec["pred_vertices_cam0"] = verts[:, 0] + trans[:, 0, None]
+            rec["pred_vertices_cam1"] = verts[:, 1] + trans[:, 1, None]
+        outputs.append({"output": rec})
+        all_rotmat.append(rotmat)
+        all_betas.append(betas)
+        all_trans.append(trans)
+        all_extr.append(np.asarray(batch["extr"]))
+
+    pred_rotmat = np.concatenate(all_rotmat)
+    pred_betas = np.concatenate(all_betas)
+    extr = np.concatenate(all_extr)
+    N = pred_rotmat.shape[0]
+    if err_idcs is None:
+        # default robust mask: a person detected in both views
+        # (ref :137-138 person_present; err_idcs.npy overrides when given)
+        conf = ds.opose[:, :, :, 2].sum(axis=2)  # (2, n)
+        err_idcs = ~((conf[0] == 0) & (conf[1] == 0))
+    err_idcs = np.asarray(err_idcs)[:N]
+    metrics = {
+        "loss": float(np.mean(losses)),
+        "crossview_consistency": robust_crossview_consistency(
+            smplx_params, pred_rotmat, pred_betas, extr, err_idcs
+        ),
+        "robust_frames": float(err_idcs.sum()),
+    }
+    return outputs, metrics
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="copenet_twoview")
     p.add_argument("--ckpt", default=None, help="orbax checkpoint dir (TrainState)")
+    p.add_argument("--torch_ckpt", default=None,
+                   help="reference Lightning .ckpt — converted in-memory "
+                        "(the copenet_synth_res_compile.py entry contract)")
     p.add_argument("--datapath", default="synthetic://64")
+    p.add_argument("--split", nargs="+", default=["test"],
+                   choices=("test", "train"),
+                   help="on-disk splits to compile, in pkl order "
+                        "(the reference runs [test, train])")
     p.add_argument("--out", default="results.pkl")
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--img_res", type=int, default=224)
+    p.add_argument("--synthetic_verts", type=int, default=10475,
+                   help="synthetic body-model size when no --smplx_model_dir")
     p.add_argument("--save-full", action="store_true")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     p.add_argument("--smplx_model_dir", default=None)
+    p.add_argument("--vposer_ckpt", default=None,
+                   help="released VPoser v2 weights (torch file or npz) for "
+                        "the real-data eval loss")
+    p.add_argument("--first_cam", type=int, default=0,
+                   help="real:// camera pinning (ref first_cam)")
+    p.add_argument("--err_idcs", default=None,
+                   help="real:// robust-frame .npy mask "
+                        "(ref scripts/err_idcs.npy)")
+    p.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000))
+    p.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
     args = p.parse_args(argv)
 
     import jax
@@ -219,54 +422,130 @@ def main(argv=None):
     from ..bodymodel import load_smplx_npz, synthetic_smplx_params
     from ..config import TrainConfig
     from ..data import make_synthetic_dataset
-    from ..models import MODEL_REGISTRY
+    from ..models import MODEL_REGISTRY, family_init_args
     from ..train.state import create_train_state
 
-    cfg = TrainConfig(model=args.model)
+    cfg = TrainConfig(model=args.model, batch_size=args.batch_size,
+                      img_res=args.img_res)
     if args.smplx_model_dir:
         smplx_params = load_smplx_npz(args.smplx_model_dir)
     else:
         smplx_params = synthetic_smplx_params(
-            num_vertices=300 if args.datapath.startswith("synthetic") else 10475
+            num_vertices=300 if args.datapath.startswith("synthetic")
+            else args.synthetic_verts
         )
 
+    is_real = args.datapath.startswith(("real://", "aircap://"))
+    model = MODEL_REGISTRY[args.model](iters=cfg.reg_iters)
+    state, _ = create_train_state(
+        model, family_init_args(args.model, batch_size=1, img_res=64),
+        jax.random.PRNGKey(0), lr=cfg.lr,
+    )
+    if args.torch_ckpt:
+        import torch  # host-side conversion only
+
+        from ..train.checkpoint import convert_reference_checkpoint
+
+        blob = torch.load(args.torch_ckpt, map_location="cpu",
+                          weights_only=False)
+        sd = blob.get("state_dict", blob)
+        variables = convert_reference_checkpoint(sd, args.model)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, variables["params"]),
+            batch_stats={**state.batch_stats,
+                         **jax.tree.map(jnp.asarray, variables["batch_stats"])},
+        )
+    elif args.ckpt:
+        import orbax.checkpoint as ocp
+
+        state = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.ckpt), state
+        )
+
+    per_split = []
+    metrics_by_split = {}
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(smplx_params, n, seed=7)
-    else:
-        raise NotImplementedError("on-disk eval lands with dataset assets")
+        B = min(args.batch_size, n)
+        splits = {"test": synthetic_batches(data, B)}
+        split_names = ["test"]
+    elif is_real:
+        from ..bodymodel.vposer import init_vposer_params, load_vposer_ckpt
 
-    model = MODEL_REGISTRY[args.model](iters=cfg.reg_iters)
-    B = min(args.batch_size, data["images"].shape[0])
-    if args.model == "hmr":
-        init_args = (jnp.asarray(data["images"][:B, 0]),)
-    elif args.model == "copenet_singleview":
-        init_args = (jnp.asarray(data["images"][:B, 0]),
-                     jnp.asarray(data["bb"][:B, 0]), jnp.full((B, 3), 0.5))
-    elif args.model == "muhmr":
-        init_args = (jnp.asarray(data["images"][:B]),)
-    else:
-        init_args = (jnp.asarray(data["images"][:B]), jnp.asarray(data["bb"][:B]),
-                     jnp.full((B, 2, 3), 0.5))
-    state, _ = create_train_state(model, init_args, jax.random.PRNGKey(0), lr=cfg.lr)
-    if args.ckpt:
-        import orbax.checkpoint as ocp
+        is_aircap = args.datapath.startswith("aircap://")
+        path = args.datapath.split("://", 1)[1]
+        if args.vposer_ckpt:
+            vposer_params = load_vposer_ckpt(args.vposer_ckpt)
+        else:
+            print("WARNING: no --vposer_ckpt; the eval loss uses a RANDOM "
+                  "VPoser prior (metrics other than the loss are unaffected)")
+            vposer_params = init_vposer_params(0)
+        from ..data import AircapDataset, CopenetRealDataset
 
-        state = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt), state)
-
-    if args.model in ("copenet_twoview", "copenet_twoview_sep"):
-        outputs, metrics = compile_twoview(
-            state, model, smplx_params, data, B, cfg, save_full=args.save_full
-        )
+        ranges = {"test": range(*args.test_frames),
+                  "train": range(*args.train_frames)}
+        err = np.load(args.err_idcs) if args.err_idcs else None
+        for split in args.split:
+            if is_aircap:
+                # cross-dataset eval (the reference's --testdata=aircapdata,
+                # ref copenet/dsets/aircapData.py:29-304)
+                ds = AircapDataset(path, drange=ranges[split],
+                                   first_cam=args.first_cam)
+            else:
+                ds = CopenetRealDataset(path, frame_range=ranges[split],
+                                        first_cam=args.first_cam)
+            B = min(args.batch_size, len(ds))
+            outputs, metrics = compile_real_twoview(
+                state, model, smplx_params, vposer_params, ds, B, cfg,
+                save_full=args.save_full, err_idcs=err,
+                out_size=args.img_res,
+            )
+            per_split.append(outputs)
+            metrics_by_split[split] = metrics
+        splits = None
+        split_names = args.split
     else:
-        outputs, metrics = compile_singleview(
-            state, model, smplx_params, data, B, cfg, args.model
-        )
-    for k, v in metrics.items():
-        print(f"test_{k}: {v:.4f}")
+        from ..data import AerialPeopleDataset
+
+        splits = {}
+        for split in args.split:
+            ds = AerialPeopleDataset(args.datapath, split)
+            genders_to_params = None
+            if args.smplx_model_dir:
+                genders_to_params = {}
+                for g in ("male", "female", "neutral"):
+                    gp = os.path.join(args.smplx_model_dir,
+                                      f"SMPLX_{g.upper()}.npz")
+                    if os.path.exists(gp):
+                        genders_to_params[g] = load_smplx_npz(
+                            args.smplx_model_dir, gender=g)
+                genders_to_params = genders_to_params or None
+            ds.precompute_canonical_gt(smplx_params, genders_to_params)
+            B = min(args.batch_size, len(ds))
+            splits[split] = aerialpeople_batches(ds, B, out_size=args.img_res)
+        split_names = args.split
+
+    if splits is not None:  # synthetic / on-disk supervised paths
+        for split in split_names:
+            if args.model in ("copenet_twoview", "copenet_twoview_sep"):
+                outputs, metrics = compile_twoview(
+                    state, model, smplx_params, splits[split], cfg,
+                    save_full=args.save_full,
+                )
+            else:
+                outputs, metrics = compile_singleview(
+                    state, model, smplx_params, splits[split], cfg, args.model
+                )
+            per_split.append(outputs)
+            metrics_by_split[split] = metrics
+
+    for split, metrics in metrics_by_split.items():
+        for k, v in metrics.items():
+            print(f"{split}_{k}: {v:.4f}")
     with open(args.out, "wb") as f:
-        pickle.dump([outputs], f)
-    print(f"wrote {args.out} ({len(outputs)} batches)")
+        pickle.dump(per_split, f)
+    print(f"wrote {args.out} ({[len(o) for o in per_split]} batches per split)")
 
 
 if __name__ == "__main__":

@@ -269,3 +269,175 @@ def export_results(
         "beta": np.asarray(state.beta),
         "cam1_wrt_cam0": np.asarray(T_rel),
     }
+
+
+# ---------------------------------------------------------------------------
+# Sequence driver (the runnable script the reference's bundle_adj.py is)
+# ---------------------------------------------------------------------------
+
+def run_sequence(
+    smplx_params: SMPLXParams,
+    vposer_params: VPoserParams,
+    dataset,                     # CopenetRealDataset (keypoints + intr)
+    airpose_outputs,             # outputs-pkl list for ONE split
+    cfg: BAConfig = BAConfig(),
+    chunk_size: int = 2000,
+    save_verts: bool = False,
+):
+    """Chunked per-sequence optimization (ref bundle_adj.py:216-222: chunks
+    of 2000 frames, the temporal term coupling only within a chunk) over a
+    full capture. Returns a result dict in the AirPose+ export layout."""
+    from ..eval.compile_results import outputs_to_ba_init
+
+    init = outputs_to_ba_init(airpose_outputs, vposer_params)
+    N = int(init.z.shape[0])
+    n_frames = min(N, len(dataset))
+    openpose = jnp.asarray(
+        np.stack([dataset.opose[v, :n_frames] for v in (0, 1)], axis=1)
+    )  # (N, 2, 24, 3)
+    alphapose = jnp.asarray(
+        np.stack([dataset.apose[v, :n_frames] for v in (0, 1)], axis=1)
+    )
+    intr = jnp.asarray(dataset.intr)
+
+    z = np.zeros((n_frames, 32), np.float32)
+    phi = np.zeros((n_frames, 2, 6), np.float32)
+    tau = np.zeros((n_frames, 2, 3), np.float32)
+    betas = []
+    traces = []
+    verts0, verts1 = [], []
+    cam1_wrt_cam0 = np.zeros((n_frames, 4, 4), np.float32)
+    pose_body = np.zeros((n_frames, 21, 3), np.float32)
+
+    for begin in range(0, n_frames, chunk_size):
+        end = min(begin + chunk_size, n_frames)
+        chunk_init = BAState(
+            z=init.z[begin:end], phi=init.phi[begin:end],
+            tau=init.tau[begin:end], beta=init.beta,
+        )
+        state, metrics = bundle_adjust(
+            smplx_params, vposer_params, chunk_init,
+            openpose[begin:end], alphapose[begin:end], intr, cfg,
+        )
+        z[begin:end] = np.asarray(state.z)
+        phi[begin:end] = np.asarray(state.phi)
+        tau[begin:end] = np.asarray(state.tau)
+        betas.append(np.asarray(state.beta))
+        traces.append(metrics["trace"])
+        exp = export_results(smplx_params, vposer_params, state)
+        cam1_wrt_cam0[begin:end] = exp["cam1_wrt_cam0"]
+        pose_body[begin:end] = exp["pose_body"]
+        if save_verts:
+            verts0.append(exp["verts0"])
+            verts1.append(exp["verts1"])
+        print(f"chunk [{begin}:{end}) final loss {metrics['loss']:.4f} "
+              f"(2d {metrics['loss_2d']:.4f})", flush=True)
+
+    result = {
+        "z": z, "phi": phi, "tau": tau,
+        "beta_per_chunk": np.stack(betas),
+        "pose_body": pose_body,
+        "cam1_wrt_cam0": cam1_wrt_cam0,
+        "trace": np.concatenate(traces),
+    }
+    if save_verts:
+        result["verts0"] = np.concatenate(verts0)
+        result["verts1"] = np.concatenate(verts1)
+    return result
+
+
+def main(argv=None):
+    import argparse
+    import os
+    import pickle
+
+    p = argparse.ArgumentParser(
+        description="AirPose+ — per-sequence bundle adjustment over a real "
+        "capture, initialized from an AirPose outputs pkl (the reference's "
+        "bundle_adj.py run contract)."
+    )
+    p.add_argument("--datapath", required=True,
+                   help="real://<dir> or <dir> with the DJI layout")
+    p.add_argument("--airpose-pkl", required=True,
+                   help="outputs pkl from eval.compile_results")
+    p.add_argument("--split", default="test", choices=("test", "train"),
+                   help="which split the pkl index holds (pkl order is the "
+                        "--split order used at compile time; ref res_id)")
+    p.add_argument("--split-index", type=int, default=None,
+                   help="explicit index into the outputs pkl (overrides "
+                        "--split's [test, train] assumption)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--vposer_ckpt", default=None)
+    p.add_argument("--smplx_model_dir", default=None)
+    p.add_argument("--synthetic_verts", type=int, default=10475)
+    p.add_argument("--chunk-size", type=int, default=2000)
+    p.add_argument("--iters1", type=int, default=100)
+    p.add_argument("--iters2", type=int, default=200)
+    p.add_argument("--kp_threshold", type=float, default=50.0,
+                   help="op/al agreement gate (ref bundle_adj.py:124)")
+    p.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000))
+    p.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
+    p.add_argument("--save-verts", action="store_true")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from ..bodymodel import (init_vposer_params, load_smplx_npz,
+                             load_vposer_ckpt, synthetic_smplx_params)
+    from ..data import CopenetRealDataset
+    from ..eval.figures import plot_trajectories, relative_camera_trajectory
+
+    if args.smplx_model_dir:
+        smplx_params = load_smplx_npz(args.smplx_model_dir)
+    else:
+        smplx_params = synthetic_smplx_params(num_vertices=args.synthetic_verts)
+    if args.vposer_ckpt:
+        vposer_params = load_vposer_ckpt(args.vposer_ckpt)
+    else:
+        print("WARNING: no --vposer_ckpt; optimizing against a RANDOM "
+              "VPoser prior — results will be meaningless outside tests.",
+              flush=True)
+        vposer_params = init_vposer_params(0)
+
+    path = args.datapath[len("real://"):] if args.datapath.startswith(
+        "real://") else args.datapath
+    frange = (range(*args.test_frames) if args.split == "test"
+              else range(*args.train_frames))
+    ds = CopenetRealDataset(path, frame_range=frange,
+                            kp_agrmnt_threshold=args.kp_threshold)
+
+    with open(args.airpose_pkl, "rb") as f:
+        per_split = pickle.load(f)
+    idx = args.split_index
+    if idx is None:
+        idx = 0 if args.split == "test" else min(1, len(per_split) - 1)
+    outputs = per_split[idx]
+
+    cfg = BAConfig(iters_stage1=args.iters1, iters_stage2=args.iters2)
+    result = run_sequence(
+        smplx_params, vposer_params, ds, outputs, cfg,
+        chunk_size=args.chunk_size, save_verts=args.save_verts,
+    )
+
+    os.makedirs(args.out, exist_ok=True)
+    out_pkl = os.path.join(args.out, f"airpose_plus_{args.split}.pkl")
+    with open(out_pkl, "wb") as f:
+        pickle.dump(result, f)
+
+    # AirPose vs AirPose+ relative-camera trajectory (ref :590-642).
+    n = result["cam1_wrt_cam0"].shape[0]
+    trajs = {
+        "AirPose": relative_camera_trajectory(outputs)[:n],
+        "AirPose+": result["cam1_wrt_cam0"][:, :3, 3],
+    }
+    plot_path = os.path.join(args.out, f"cam_trajectory_{args.split}.png")
+    plot_trajectories(trajs, plot_path)
+    print(f"wrote {out_pkl} and {plot_path}")
+
+
+if __name__ == "__main__":
+    main()

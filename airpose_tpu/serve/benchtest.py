@@ -1,0 +1,217 @@
+"""Served-vs-offline benchtest.
+
+The reference validated its deployed client/server pipeline by replaying
+rosbags through two localhost client+server pairs and diffing the recorded
+`step3_pub` messages against offline `trainer.test` predictions
+(ref copenet_real/scripts/copenet_real_res_compile.py:193-296 — six printed
+mean-abs diffs: β, translation, 6D pose per machine). This tool is that
+check as a first-class command: it replays frames from a real-layout
+capture through TWO live servers speaking the 3-round protocol and diffs
+each step3 result against the fused offline forward on the same crops.
+
+Both paths consume the SAME uint8 crop (the wire format is 8-bit), so the
+residual diff isolates the protocol/staging path; with same-frame peer
+messages the staged math is identical to the fused forward (the lag-one
+in-flight regime is deliberately different — SURVEY.md §7).
+
+Usage:
+  python -m airpose_tpu.serve.benchtest --datapath real:///path \
+      --frames 0 64 [--ckpt dir | --random-init] [--platform cpu]
+"""
+
+import argparse
+import asyncio
+import socket
+import threading
+from typing import Dict, List
+
+import numpy as np
+
+from .. import constants as C
+from . import protocol as P
+from .staged import StagedRegressor
+
+
+def _free_ports(n: int) -> List[int]:
+    socks = [socket.socket() for _ in range(n)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+    return ports
+
+
+def _denormalize_u8(img: np.ndarray) -> np.ndarray:
+    """Normalized f32 crop → the uint8 image a client would send."""
+    x = img * np.asarray(C.IMG_NORM_STD) + np.asarray(C.IMG_NORM_MEAN)
+    return np.clip(x * 255.0, 0, 255).astype(np.uint8)
+
+
+def _normalize(img_u8: np.ndarray) -> np.ndarray:
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
+
+
+def run_benchtest(
+    variables,
+    batches: List[Dict],
+    model=None,
+    sep: bool = False,
+    startup_wait: float = 1.5,
+) -> Dict[str, float]:
+    """Replay every frame of ``batches`` (finished real eval batches) through
+    two live servers, then compare step3 wire results against the fused
+    offline forward. Returns the six reference diffs."""
+    import jax.numpy as jnp
+
+    from ..models import AirPoseTwoView, AirPoseTwoViewSep
+    from .server import run_server
+
+    if model is None:
+        model = AirPoseTwoViewSep() if sep else AirPoseTwoView()
+
+    # ---- collect frames: uint8 crops + bb per view ----
+    imgs_u8, bbs = [], []
+    for b in batches:
+        img = np.asarray(b["images"])  # (B, 2, S, S, 3) normalized
+        bb = np.asarray(b["bb"])
+        for i in range(img.shape[0]):
+            imgs_u8.append([_denormalize_u8(img[i, v]) for v in (0, 1)])
+            bbs.append(bb[i])
+    n = len(imgs_u8)
+    init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+
+    # ---- servers (in-process, one event loop thread) ----
+    ports = _free_ports(2)
+    loop = asyncio.new_event_loop()
+
+    def serve():
+        asyncio.set_event_loop(loop)
+        regs = (
+            [StagedRegressor(variables, sep_view=v) for v in (0, 1)]
+            if sep else
+            [StagedRegressor(variables) for _ in (0, 1)]
+        )
+        loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
+        loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
+        loop.run_forever()
+
+    server_thread = threading.Thread(target=serve, daemon=True)
+    server_thread.start()
+    import time
+
+    time.sleep(startup_wait)
+
+    served = [np.zeros((n, C.WIRE_NUM_FLOATS), np.float32) for _ in (0, 1)]
+    errors: List[Exception] = []
+
+    def client(v):
+        try:
+            sock = socket.create_connection(("127.0.0.1", ports[v]), timeout=60)
+            for f in range(n):
+                sock.sendall(P.encode_image(
+                    v, f, bbs[f][v], init_trans, imgs_u8[f][v]
+                ))
+                msg = P.read_message_sync(sock)
+                assert msg is not None and msg[0] == P.MSG_RESULT, msg
+                fid, data = P.decode_step(msg[1])
+                served[v][fid] = data
+            sock.close()
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(v,)) for v in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    loop.call_soon_threadsafe(loop.stop)
+    if errors:
+        raise RuntimeError(f"benchtest client failed: {errors}")
+
+    # ---- offline fused forward over the same uint8 crops ----
+    x = jnp.asarray(np.stack(
+        [[_normalize(imgs_u8[f][v]) for v in (0, 1)] for f in range(n)]
+    ))
+    bb = jnp.asarray(np.stack(bbs))
+    pos = jnp.broadcast_to(
+        jnp.asarray(init_trans) * C.TRANS_SCALE, (n, 2, 3)
+    )
+    out = model.apply(variables, x, bb, pos, iters=C.NUM_ITERS)
+    off_pose = np.asarray(out.pose)   # (n, 2, 135) [scaled trans | 6D]
+    off_betas = np.asarray(out.betas)
+
+    # ---- the six reference diffs (ref :286-291), unscaled translation ----
+    diffs = {}
+    for v, name in ((0, "m1"), (1, "m2")):
+        diffs[f"beta_{name}"] = float(
+            np.abs(served[v][:, :10] - off_betas[:, v]).mean()
+        )
+        diffs[f"trans_{name}"] = float(
+            np.abs(served[v][:, 10:13] / C.TRANS_SCALE
+                   - off_pose[:, v, :3] / C.TRANS_SCALE).mean()
+        )
+        diffs[f"pose_{name}"] = float(
+            np.abs(served[v][:, 13:] - off_pose[:, v, 3:]).mean()
+        )
+    return diffs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--datapath", required=True, help="real://<dir> or <dir>")
+    p.add_argument("--frames", type=int, nargs=2, default=(0, 32))
+    p.add_argument("--model", default="copenet_twoview",
+                   choices=("copenet_twoview", "copenet_twoview_sep"))
+    p.add_argument("--ckpt", default=None, help="orbax TrainState dir")
+    p.add_argument("--random-init", action="store_true")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--img_res", type=int, default=224)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..data import CopenetRealDataset
+    from ..eval.compile_results import real_batches
+    from ..models import MODEL_REGISTRY, family_init_args
+    from ..train.state import create_train_state
+
+    path = (args.datapath[len("real://"):]
+            if args.datapath.startswith("real://") else args.datapath)
+    ds = CopenetRealDataset(path, frame_range=range(*args.frames))
+
+    model = MODEL_REGISTRY[args.model]()
+    state, _ = create_train_state(
+        model, family_init_args(args.model, 1, 64), jax.random.PRNGKey(0),
+        lr=5e-5,
+    )
+    if args.ckpt:
+        import orbax.checkpoint as ocp
+        import os
+
+        state = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.ckpt), state
+        )
+    elif not args.random_init:
+        p.error("provide --ckpt or --random-init")
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    B = min(args.batch_size, len(ds))
+    batches = list(real_batches(ds, B, out_size=args.img_res))
+    diffs = run_benchtest(
+        variables, batches, model=model,
+        sep=args.model == "copenet_twoview_sep",
+    )
+    for k, v in diffs.items():
+        print(f"benchtest_absdiff_{k}: {v:.6f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -34,37 +34,71 @@ def _normalize(img_u8: np.ndarray) -> np.ndarray:
 
 
 class AirPoseServer:
-    def __init__(self, regressor: StagedRegressor, robot_id: int):
+    """Per-drone server with real-time semantics:
+
+      * latest-frame-wins — a backlog of client frames is dropped down to
+        the newest before processing (the reference's 4-FPS flight loop
+        drops frames to stay real-time rather than queueing; README sync
+        description, SURVEY.md §3.5/§7);
+      * peer-timeout recovery — a missing peer message falls back to that
+        peer's most recent earlier message (lag-one regime, exactly the
+        in-flight semantics where the peer tensor is one round stale) or,
+        before any peer contact, to the mean-parameter state step1 already
+        assumes. A slow/disconnected peer degrades accuracy, never stalls
+        the pipeline.
+    """
+
+    def __init__(self, regressor: StagedRegressor, robot_id: int,
+                 peer_timeout: float = 10.0):
         self.reg = regressor
         self.robot_id = robot_id
+        self.peer_timeout = peer_timeout
         self.peer_writer: Optional[asyncio.StreamWriter] = None
         self._peer_msgs: dict = {}
         self._events: dict = {}
+        self._latest_peer: dict = {}   # msg_type -> freshest data seen
         self._lock = asyncio.Lock()
+        self.frames_dropped = 0
+        self.peer_timeouts = 0
 
     # ---- peer message bookkeeping ----
 
     def _note_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
         self._peer_msgs[(msg_type, frame_id)] = data
+        self._latest_peer[msg_type] = data
         self._events.setdefault((msg_type, frame_id), asyncio.Event()).set()
 
-    async def _wait_peer(self, msg_type: int, frame_id: int, timeout: float = 10.0):
+    async def _wait_peer(self, msg_type: int, frame_id: int):
+        """Wait for the peer's message for this frame; on timeout fall back
+        to the freshest earlier message of the same type (lag-one), else to
+        the mean-parameter peer state (None → caller uses means)."""
         key = (msg_type, frame_id)
         if key not in self._peer_msgs:
             ev = self._events.setdefault(key, asyncio.Event())
-            await asyncio.wait_for(ev.wait(), timeout)
+            try:
+                await asyncio.wait_for(ev.wait(), self.peer_timeout)
+            except asyncio.TimeoutError:
+                self.peer_timeouts += 1
+                self._events.pop(key, None)
+                return self._latest_peer.get(msg_type)
         self._events.pop(key, None)
         return self._peer_msgs.pop(key)
 
+    def _peer_art_shape(self, data: Optional[np.ndarray]):
+        if data is None:  # never heard from the peer: mean-parameter state
+            return self.reg._mean_art[0], self.reg._mean_shape[0]
+        return wire_to_peer(data)
+
     async def _send_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
         # The peer link may come up after the first client frame arrives
-        # (the higher-id server learns it from the dialer's HELLO).
-        for _ in range(100):
+        # (the higher-id server learns it from the dialer's HELLO). If the
+        # peer never appears, keep serving degraded (mean/lag-one peer).
+        for _ in range(int(self.peer_timeout * 10)):
             if self.peer_writer is not None:
                 break
             await asyncio.sleep(0.1)
         if self.peer_writer is None:
-            raise RuntimeError("peer not connected")
+            return
         self.peer_writer.write(P.encode_step(msg_type, frame_id, data))
         await self.peer_writer.drain()
 
@@ -83,15 +117,39 @@ class AirPoseServer:
                 break
 
     async def client_loop(self, reader, writer, first=None):
-        msg = first
-        while True:
-            if msg is not None:
-                msg_type, payload = msg
-                if msg_type == P.MSG_IMAGE:
-                    await self._process_frame(writer, payload)
-            msg = await P.read_message(reader)
-            if msg is None:
-                break
+        """Pump incoming messages into a queue and process the NEWEST
+        pending frame, dropping the backlog (latest-frame-wins)."""
+        q: asyncio.Queue = asyncio.Queue()
+        if first is not None:
+            q.put_nowait(first)
+
+        async def pump():
+            while True:
+                msg = await P.read_message(reader)
+                q.put_nowait(msg)  # None marks EOF
+                if msg is None:
+                    return
+
+        pump_task = asyncio.ensure_future(pump())
+        try:
+            eof = False
+            while not eof:
+                msg = await q.get()
+                if msg is None:
+                    break
+                # drain the backlog: keep only the newest frame
+                while not q.empty():
+                    nxt = q.get_nowait()
+                    if nxt is None:
+                        eof = True
+                        break
+                    if msg[0] == P.MSG_IMAGE:
+                        self.frames_dropped += 1
+                    msg = nxt
+                if msg is not None and msg[0] == P.MSG_IMAGE:
+                    await self._process_frame(writer, msg[1])
+        finally:
+            pump_task.cancel()
 
     async def _process_frame(self, writer, payload: bytes):
         """The 3-round protocol for one frame (SURVEY.md §3.5)."""
@@ -103,13 +161,15 @@ class AirPoseServer:
         await self._send_peer(P.MSG_STEP1, frame_id, state_to_wire(state))
 
         # Round 2: peer step1 → iter 2, publish step2.
-        art, shape = wire_to_peer(await self._wait_peer(P.MSG_STEP1, frame_id))
+        art, shape = self._peer_art_shape(
+            await self._wait_peer(P.MSG_STEP1, frame_id))
         async with self._lock:
             state = self.reg.step23(state, bb[None], art[None], shape[None])
         await self._send_peer(P.MSG_STEP2, frame_id, state_to_wire(state))
 
         # Round 3: peer step2 → iter 3, return the 145-float result.
-        art, shape = wire_to_peer(await self._wait_peer(P.MSG_STEP2, frame_id))
+        art, shape = self._peer_art_shape(
+            await self._wait_peer(P.MSG_STEP2, frame_id))
         async with self._lock:
             state = self.reg.step23(state, bb[None], art[None], shape[None])
         writer.write(P.encode_step(P.MSG_RESULT, frame_id, state_to_wire(state)))
@@ -123,8 +183,11 @@ async def run_server(
     peer_host: str = "127.0.0.1",
     peer_port: int = 0,
     ready_event: Optional[asyncio.Event] = None,
+    peer_timeout: float = 10.0,
+    server: Optional[AirPoseServer] = None,
 ):
-    server = AirPoseServer(regressor, robot_id)
+    if server is None:
+        server = AirPoseServer(regressor, robot_id, peer_timeout=peer_timeout)
 
     async def on_connect(reader, writer):
         msg = await P.read_message(reader)
@@ -165,6 +228,10 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument("--random-init", action="store_true",
                         help="serve random weights (protocol testing)")
+    parser.add_argument("--peer-timeout", type=float, default=10.0,
+                        help="seconds to wait for a peer step message before "
+                             "degrading to its last known state (flight "
+                             "deployments set ~0.25 at 4 FPS)")
     parser.add_argument("--platform", default=None, choices=("cpu", "tpu"),
                         help="force a JAX platform (cpu: e.g. when two "
                         "server processes share a host with one TPU)")
@@ -193,7 +260,8 @@ def main(argv=None):
 
     reg = StagedRegressor(variables)
     asyncio.run(
-        run_server(reg, args.robot_id, args.port, args.peer_host, args.peer_port)
+        run_server(reg, args.robot_id, args.port, args.peer_host,
+                   args.peer_port, peer_timeout=args.peer_timeout)
     )
 
 

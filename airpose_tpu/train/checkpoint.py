@@ -139,9 +139,25 @@ def convert_reference_checkpoint(
 ) -> Dict:
     """Full conversion of a reference checkpoint's ``state_dict`` (Lightning
     keys 'model.<...>') into this framework's variables for the matching
-    model family. Handles the shared-trunk families; the _sep family has
-    'model.copenet0./copenet1.' sub-prefixes."""
+    model family. The _sep family (per-drone weight copies) carries
+    'model.copenet0./copenet1.' sub-prefixes, each holding a full
+    trunk+regressor (ref copenet_real/models/model_copenet_sep.py:169-237,
+    forward_reg routing through self.copenet{0,1}.fc1/fc2/dec*)."""
     prefix = "model." if lightning else ""
+    if model_name == "copenet_twoview_sep":
+        params: Dict[str, Any] = {}
+        stats: Dict[str, Any] = {}
+        for v in (0, 1):
+            sub = f"{prefix}copenet{v}."
+            trunk = convert_resnet_torch_to_flax(torch_state_dict, sub)
+            core = convert_regressor_torch_to_flax(
+                torch_state_dict, ("decpose", "decshape"), sub
+            )
+            params[f"trunk{v}"] = trunk["params"]
+            params[f"core{v}"] = core
+            stats[f"trunk{v}"] = trunk["batch_stats"]
+        return {"params": params, "batch_stats": stats}
+
     head_names = {
         "hmr": ("decpose", "decshape", "deccam"),
         "muhmr": ("decpose", "decshape", "deccam"),
@@ -156,5 +172,72 @@ def convert_reference_checkpoint(
         "params": {"trunk": trunk["params"], "core": core},
         "batch_stats": {"trunk": trunk["batch_stats"]},
     }
+
+
+# ---------------------------------------------------------------------------
+# CLI: reference Lightning .ckpt → orbax TrainState
+# ---------------------------------------------------------------------------
+
+def convert_ckpt_file_to_orbax(
+    ckpt_path: str, model_name: str, out_dir: str, lr: float = 5e-5
+) -> str:
+    """Load a reference PyTorch-Lightning ``.ckpt`` (or a bare torch
+    state-dict file), convert the weights, and write an orbax TrainState
+    checkpoint that this framework's trainer/eval CLIs restore directly.
+    The optimizer state is fresh (the reference optimizer state is not
+    transferable). Returns the written path."""
+    import torch  # host-side conversion tool only — not the compute path
+
+    from ..models import MODEL_REGISTRY, family_init_args
+    from .state import create_train_state
+
+    blob = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+    lightning = any(k.startswith("model.") for k in sd)
+    variables = convert_reference_checkpoint(sd, model_name, lightning=lightning)
+
+    model = MODEL_REGISTRY[model_name]()
+    state, _ = create_train_state(
+        model, family_init_args(model_name, batch_size=1, img_res=64),
+        jax.random.PRNGKey(0), lr=lr,
+    )
+    as_jnp = lambda tree: jax.tree.map(
+        lambda a: np.asarray(a, dtype=np.float32), tree
+    )
+    state = state.replace(
+        params=as_jnp(variables["params"]),
+        batch_stats={**state.batch_stats, **as_jnp(variables["batch_stats"])},
+    )
+    out = os.path.abspath(out_dir)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(out, jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="Convert a reference PyTorch-Lightning checkpoint to an "
+        "orbax TrainState (the north-star parity path: converted weights "
+        "feed eval/compile_results and the serving CLIs)."
+    )
+    p.add_argument("--torch-ckpt", required=True, help=".ckpt / .pt file")
+    p.add_argument("--model", required=True,
+                   choices=("hmr", "muhmr", "copenet_singleview",
+                            "copenet_twoview", "copenet_twoview_sep"))
+    p.add_argument("--out", required=True, help="orbax output directory")
+    p.add_argument("--platform", default="cpu", choices=("cpu", "tpu"),
+                   help="conversion runs fine on cpu (default)")
+    args = p.parse_args(argv)
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    out = convert_ckpt_file_to_orbax(args.torch_ckpt, args.model, args.out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
 
 

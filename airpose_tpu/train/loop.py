@@ -29,6 +29,18 @@ def _input_trans(batch, cfg: TrainConfig, key):
     return t * cfg.trans_scale
 
 
+def _eval_input_trans(batch, cfg: TrainConfig):
+    """Eval-time IEF translation init, pinned to [0,0,10] regardless of
+    --smpltrans_noise_sigma. Deliberate divergence from the reference, whose
+    eval path reuses the train-time noise injection (copenet_twoview.py:180-
+    203 called from test_step) while its real-data forward pins [0,0,10]
+    (copenet_real/copenet_twoview.py:176) — evaluation here is always
+    deterministic and never conditions on GT."""
+    gt = batch["gt_trans"]
+    t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 10.0], dtype=gt.dtype), gt.shape)
+    return t * cfg.trans_scale
+
+
 def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx):
     """Returns (train_step, eval_step) jitted functions for the flagship
     AirPoseTwoView (or the _sep variant — same signature)."""
@@ -84,7 +96,7 @@ def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        in_trans = _input_trans(batch, cfg, jax.random.PRNGKey(0))
+        in_trans = _eval_input_trans(batch, cfg)
         out, _ = forward(state.params, state.batch_stats, batch, in_trans, False, None)
         loss, metrics = loss_from_out(out, batch)
 
@@ -166,7 +178,7 @@ def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: 
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        in_trans = _input_trans(batch, cfg, jax.random.PRNGKey(0))
+        in_trans = _eval_input_trans(batch, cfg)
         out, _ = apply_model(state.params, state.batch_stats, batch, in_trans, False, None)
         loss, metrics = loss_from_out(out, batch)
         return metrics, out

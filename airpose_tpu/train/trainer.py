@@ -54,7 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="orbax dir to initialize from (fine-tune)")
     t.add_argument("--smplx_model_dir", default=None,
                    help="dir with SMPLX_*.npz; synthetic body if omitted")
+    t.add_argument("--vposer_ckpt", default=None,
+                   help="released VPoser v2 weights (torch .ckpt/.pt or npz) "
+                        "— the real:// fine-tune's pose prior (ref "
+                        "copenet_real/copenet_twoview.py:21-24)")
     t.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    t.add_argument("--debug_nans", action="store_true",
+                   help="numerical sanitizer (the reference's "
+                        "autograd.detect_anomaly, ref bundle_adj.py:263): "
+                        "jax_debug_nans pinpoints the producing op, and each "
+                        "step's metrics are finite-checked with a per-term "
+                        "report on failure")
     t.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000),
                    help="real:// train frame range (ref copenet_real.py:22)")
     t.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
@@ -129,29 +139,62 @@ def _make_writer(run_dir):
         return _JsonlWriter(run_dir)
 
 
-def _summary_overlay(smplx_params, batch, preds):
-    """Render sample 0 / view 0's predicted mesh over its input crop."""
+def _summary_grid(smplx_params, batch, rotmat2, betas2, trans2):
+    """Sample-0 image summary across BOTH views: each row is
+    [input crop | predicted-mesh overlay] — the visual-verification grids
+    the reference logs every summary_steps (ref copenet_twoview.py:445-501),
+    and the primary eyeball check on the real fine-tune path (no 3D GT).
+
+    rotmat2 (2,22,3,3), betas2 (2,10), trans2 (2,3) are sample 0's per-view
+    predictions."""
     import jax.numpy as jnp
 
     from .. import constants as C
     from ..bodymodel.smplx import smplx_forward
     from ..utils.render import overlay_mesh
 
-    rotmat = preds["pred_rotmat"][0, 0]
-    betas = preds["pred_betas"][0, 0]
     out = smplx_forward(
         smplx_params,
-        jnp.asarray(betas)[None],
-        body_pose=jnp.asarray(rotmat[1:])[None],
-        global_orient=jnp.asarray(rotmat[:1])[None],
+        jnp.asarray(betas2),
+        body_pose=jnp.asarray(rotmat2[:, 1:]),
+        global_orient=jnp.asarray(rotmat2[:, :1]),
     )
-    verts = np.asarray(out.vertices)[0] + np.asarray(preds["pred_trans"][0, 0])
-    img = np.asarray(batch["images"][0, 0])
-    img = np.clip(img * np.asarray(C.IMG_NORM_STD) + np.asarray(C.IMG_NORM_MEAN), 0, 1)
-    # crop-frame weak rendering: scale the full-image focal by the crop scale
-    s = float(np.asarray(batch["bb"][0, 0, 2]))
-    focal = (C.FOCAL_LENGTH[0] * s, C.FOCAL_LENGTH[1] * s)
-    return overlay_mesh(img, verts, smplx_params.faces, focal).astype(np.float32)
+    mean = np.asarray(C.IMG_NORM_MEAN)
+    std = np.asarray(C.IMG_NORM_STD)
+    rows = []
+    for v in range(2):
+        img = np.clip(np.asarray(batch["images"][0, v]) * std + mean, 0, 1)
+        # crop-frame weak rendering: full-image focal scaled by the crop
+        # scale (per-camera focal on the real path)
+        if "focal" in batch:
+            base_focal = np.asarray(batch["focal"][v])
+        else:
+            base_focal = np.asarray(C.FOCAL_LENGTH)
+        s = float(np.asarray(batch["bb"][0, v, 2]))
+        focal = (float(base_focal[0]) * s, float(base_focal[1]) * s)
+        verts = np.asarray(out.vertices)[v] + np.asarray(trans2[v])
+        ov = overlay_mesh(img, verts, smplx_params.faces, focal)
+        rows.append(np.concatenate([img, ov], axis=1))
+    return np.concatenate(rows, axis=0).astype(np.float32)
+
+
+def _twoview_summary(smplx_params, batch, preds, real: bool, trans_scale):
+    """Extract sample-0 per-view (rotmat, betas, trans) from either eval
+    output form and render the grid."""
+    import jax.numpy as jnp
+
+    from ..geometry.rotations import rot6d_to_rotmat
+
+    if real:  # FullCamOutput: pose (B,2,135) [scaled trans | 6D×22]
+        pose = np.asarray(preds.pose[0])
+        betas = np.asarray(preds.betas[0])
+        trans = pose[:, :3] / trans_scale
+        rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(pose[:, 3:]).reshape(2, 22, 6)))
+    else:
+        rotmat = np.asarray(preds["pred_rotmat"][0])
+        betas = np.asarray(preds["pred_betas"][0])
+        trans = np.asarray(preds["pred_trans"][0])
+    return _summary_grid(smplx_params, batch, rotmat, betas, trans)
 
 
 def main(argv=None):
@@ -161,6 +204,8 @@ def main(argv=None):
 
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     import jax.numpy as jnp
 
@@ -327,10 +372,21 @@ def main(argv=None):
         train_reg_only=cfg.train_reg_only,
     )
     if real_finetune:
-        from ..bodymodel import init_vposer_params
+        from ..bodymodel import init_vposer_params, load_vposer_ckpt
         from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
 
-        vposer_params = init_vposer_params(cfg.seed)  # or converted weights
+        if args.vposer_ckpt:
+            vposer_params = load_vposer_ckpt(args.vposer_ckpt)
+            print(f"loaded VPoser prior from {args.vposer_ckpt}")
+        else:
+            # A randomly-initialized VAE is NOT a pose prior — fine-tuning
+            # against it regularizes toward noise. Kept only so tests and
+            # smoke runs work without the released weights.
+            print("WARNING: no --vposer_ckpt given; using a RANDOM VPoser "
+                  "prior. Real fine-tuning results will be meaningless — "
+                  "pass the released V02_05 snapshot for the reference's "
+                  "self-supervised objective.", flush=True)
+            vposer_params = init_vposer_params(cfg.seed)
         if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
             train_step, eval_step = make_real_twoview_step_fns(
                 model, smplx_params, vposer_params, cfg, tx
@@ -408,6 +464,22 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)
 
+        if args.debug_nans:
+            m = {k: float(v) for k, v in metrics.items()}
+            bad = [k for k, v in m.items() if not np.isfinite(v)]
+            if bad:
+                # per-term report, the detect_anomaly-style diagnosis
+                print(f"NON-FINITE at step {step}: {bad}; all terms: {m}",
+                      flush=True)
+                norms = {
+                    "/".join(str(getattr(p, "key", p)) for p in path):
+                        float(np.linalg.norm(np.asarray(a)))
+                    for path, a in jax.tree_util.tree_flatten_with_path(
+                        jax.device_get(state.params))[0][:20]
+                }
+                print(f"param norms (first 20 leaves): {norms}", flush=True)
+                raise FloatingPointError(f"non-finite loss terms: {bad}")
+
         if (step + 1) % 10 == 0 or step == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             dt = (time.perf_counter() - t_last)
@@ -425,13 +497,18 @@ def main(argv=None):
                       if mesh is None else shard_batch(vb, mesh))
                 vm, preds = eval_step(state, vb)
                 vals.append({k: float(v) for k, v in vm.items()})
-                if not summary_done and not real_finetune and cfg.model in (
+                if not summary_done and cfg.model in (
                     "copenet_twoview", "copenet_twoview_sep"
                 ):
-                    # rendered mesh-overlay image summary (the reference's
-                    # TB summaries, copenet_twoview.py:445-501)
+                    # rendered per-view [input | pred] grid summary (the
+                    # reference's TB summaries, copenet_twoview.py:445-501),
+                    # incl. the real fine-tune path where visuals are the
+                    # only verification signal
                     try:
-                        img = _summary_overlay(smplx_params, vb, preds)
+                        img = _twoview_summary(
+                            smplx_params, vb, preds, real_finetune,
+                            cfg.trans_scale,
+                        )
                         writer.add_image(
                             "val_pred_shape_cam", img.transpose(2, 0, 1), step
                         )

@@ -103,6 +103,50 @@ def test_bundle_adjust_reduces_reprojection_error(models, rng):
     )
 
 
+def test_sequence_cli_end_to_end(tmp_path):
+    """The AirPose+ sequence driver: real compile → outputs pkl →
+    bundle_adjust CLI over chunks → result pkl + trajectory plot (the
+    reference bundle_adj.py run path, incl. the 2000-frame chunking —
+    exercised here with chunk 3 over 6 frames so the boundary is hit)."""
+    import os
+    import pickle
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_real
+
+    from airpose_tpu.eval.compile_results import main as compile_main
+    from airpose_tpu.optim.bundle_adjust import main as ba_main
+
+    ds = str(tmp_path / "real")
+    os.makedirs(ds)
+    _write_fake_real(ds, n=6)
+
+    airpose_pkl = str(tmp_path / "airpose.pkl")
+    compile_main([
+        "--model", "copenet_twoview", "--datapath", f"real://{ds}",
+        "--split", "test", "--test_frames", "0", "6",
+        "--out", airpose_pkl, "--batch_size", "3", "--img_res", "64",
+        "--synthetic_verts", "80",
+    ])
+
+    out_dir = str(tmp_path / "ba")
+    ba_main([
+        "--datapath", f"real://{ds}", "--airpose-pkl", airpose_pkl,
+        "--split", "test", "--test_frames", "0", "6",
+        "--out", out_dir, "--chunk-size", "3",
+        "--iters1", "5", "--iters2", "10", "--synthetic_verts", "80",
+    ])
+
+    with open(os.path.join(out_dir, "airpose_plus_test.pkl"), "rb") as f:
+        result = pickle.load(f)
+    assert result["z"].shape == (6, 32)
+    assert result["beta_per_chunk"].shape == (2, 10)  # two chunks of 3
+    assert result["cam1_wrt_cam0"].shape == (6, 4, 4)
+    assert np.isfinite(result["trace"]).all()
+    assert os.path.exists(os.path.join(out_dir, "cam_trajectory_test.png"))
+
+
 def test_init_from_predictions_shapes(models, rng):
     _, vposer_params = models
     N = 5

@@ -244,6 +244,93 @@ def test_full_twoview_conversion_parity(rng):
     np.testing.assert_allclose(np.asarray(out.betas), want_shape, atol=5e-3)
 
 
+def _regressor_sd(prefix, rng_seed):
+    torch.manual_seed(rng_seed)
+    sd = {}
+    for name, (o, i) in (("fc1", (1024, 2332)), ("fc2", (1024, 1024)),
+                         ("decpose", (135, 1024)), ("decshape", (10, 1024))):
+        sd[f"{prefix}{name}.weight"] = torch.randn(o, i) * 0.02
+        sd[f"{prefix}{name}.bias"] = torch.randn(o) * 0.02
+    return sd
+
+
+def test_sep_checkpoint_conversion_matches_shared_twoview(rng):
+    """A _sep checkpoint with copenet0 == copenet1 must produce the same
+    forward as the shared-weight twoview model with those weights — the
+    strongest structural check on the 'model.copenet{0,1}.' prefix mapping
+    (ref model_copenet_sep.py:169-237)."""
+    from airpose_tpu.models import AirPoseTwoView, AirPoseTwoViewSep
+
+    torch.manual_seed(3)
+    trunk = TorchResNet50Trunk()
+    base = dict(trunk.state_dict())
+    base.update(_regressor_sd("", 4))
+
+    shared_sd = {"model." + k: v for k, v in base.items()}
+    sep_sd = {}
+    for v in (0, 1):
+        sep_sd.update({f"model.copenet{v}." + k: t for k, t in base.items()})
+
+    shared_vars = convert_reference_checkpoint(shared_sd, "copenet_twoview")
+    sep_vars = convert_reference_checkpoint(sep_sd, "copenet_twoview_sep")
+
+    B = 1
+    x = jnp.asarray(rng.normal(size=(B, 2, 64, 64, 3)).astype(np.float32) * 0.2)
+    bb = jnp.zeros((B, 2, 3))
+    pos = jnp.full((B, 2, 3), 0.5)
+
+    def run(model, variables):
+        init = model.init(jax.random.PRNGKey(0), x, bb, pos)
+        merged = {
+            "params": variables["params"],
+            "batch_stats": {**init["batch_stats"],
+                            **jax.tree.map(jnp.asarray, variables["batch_stats"])},
+        }
+        return model.apply(merged, x, bb, pos)
+
+    out_shared = run(AirPoseTwoView(), shared_vars)
+    out_sep = run(AirPoseTwoViewSep(), sep_vars)
+    np.testing.assert_allclose(
+        np.asarray(out_sep.pose), np.asarray(out_shared.pose), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sep.betas), np.asarray(out_shared.betas), atol=1e-4
+    )
+
+
+def test_ckpt_cli_roundtrip(tmp_path):
+    """The .ckpt→orbax CLI path: fabricated Lightning checkpoint file →
+    converted orbax TrainState restorable by the eval entry points."""
+    import orbax.checkpoint as ocp
+
+    from airpose_tpu.models import AirPoseTwoView, family_init_args
+    from airpose_tpu.train.checkpoint import convert_ckpt_file_to_orbax
+    from airpose_tpu.train.state import create_train_state
+
+    torch.manual_seed(5)
+    trunk = TorchResNet50Trunk()
+    sd = {"model." + k: v for k, v in trunk.state_dict().items()}
+    sd.update({"model." + k: v for k, v in _regressor_sd("", 6).items()})
+    ckpt_file = tmp_path / "epoch=257.ckpt"
+    torch.save({"state_dict": sd, "hyper_parameters": {}}, ckpt_file)
+
+    out = convert_ckpt_file_to_orbax(
+        str(ckpt_file), "copenet_twoview", str(tmp_path / "orbax")
+    )
+
+    template, _ = create_train_state(
+        AirPoseTwoView(), family_init_args("copenet_twoview", 1, 64),
+        jax.random.PRNGKey(0), lr=5e-5,
+    )
+    restored = ocp.StandardCheckpointer().restore(out, template)
+    np.testing.assert_allclose(
+        np.asarray(restored.params["core"]["fc1"]["kernel"]),
+        sd["model.fc1.weight"].numpy().T,
+        atol=1e-6,
+    )
+    assert int(restored.step) == 0
+
+
 def test_best_val_persists_across_manager_restarts(tmp_path):
     from airpose_tpu.train.state import TrainState
 

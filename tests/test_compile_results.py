@@ -1,0 +1,194 @@
+"""compile_results CLI tests: on-disk AerialPeople eval (the reference's
+copenet_synth_res_compile.py path), real-data eval with the robust
+cross-view consistency metric (copenet_real_res_compile.py path), and the
+released-VPoser weight loading path."""
+
+import os
+import pickle
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_data import _write_fake_aerialpeople, _write_fake_real  # noqa: E402
+
+
+def test_compile_results_ondisk(tmp_path, capsys):
+    """On-disk eval end to end: fixture dataset → metrics printed + outputs
+    pkl written with both requested splits in [test, train] order."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=3)
+
+    out_pkl = str(tmp_path / "results.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", str(data_dir),
+        "--split", "test", "train", "--out", out_pkl,
+        "--batch_size", "3", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    printed = capsys.readouterr().out
+    assert "test_mpjpe0" in printed and "train_mpjpe0" in printed
+
+    res = pickle.load(open(out_pkl, "rb"))
+    assert len(res) == 2  # [test, train]
+    out = res[0][0]["output"]
+    for key in ("pred_angles0", "pred_smpltrans1", "gt_angles0",
+                "smplpose_rotmat", "in_smpltrans0"):
+        assert key in out, key
+    assert out["pred_angles0"].shape == (3, 22, 3)
+    assert np.isfinite(out["pred_smpltrans0"]).all()
+
+
+def test_compile_results_ondisk_singleview(tmp_path):
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=3)
+
+    out_pkl = str(tmp_path / "hmr.pkl")
+    main([
+        "--model", "hmr", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "3", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    res = pickle.load(open(out_pkl, "rb"))
+    assert res[0][0]["output"]["pred_angles"].shape == (3, 22, 3)
+
+
+def test_compile_results_real(tmp_path, capsys):
+    """real:// eval: outputs pkl carries the raw 135-d pose state (the
+    benchtest interchange) and the robust cross-view consistency metric."""
+    from airpose_tpu.eval.compile_results import main
+
+    ds = tmp_path / "real"
+    os.makedirs(ds)
+    _write_fake_real(str(ds), n=4)
+
+    out_pkl = str(tmp_path / "real_results.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"real://{ds}",
+        "--split", "test", "--test_frames", "0", "4",
+        "--out", out_pkl, "--batch_size", "2", "--img_res", "64",
+        "--synthetic_verts", "99",
+    ])
+    printed = capsys.readouterr().out
+    assert "test_crossview_consistency" in printed
+
+    res = pickle.load(open(out_pkl, "rb"))
+    out = res[0][0]["output"]
+    assert out["pred_pose0"].shape == (2, 135)
+    assert out["pred_betas1"].shape == (2, 10)
+    assert np.isfinite(out["pred_pose0"]).all()
+
+
+def test_compile_results_aircap(tmp_path):
+    """Cross-dataset eval over the aircap layout (the reference's
+    --testdata=aircapdata path) through the same real compile pass."""
+    from test_data import _write_fake_aircap
+
+    from airpose_tpu.eval.compile_results import main
+
+    ds = tmp_path / "aircap"
+    os.makedirs(ds)
+    _write_fake_aircap(str(ds), n=4, drop_person_at=())
+
+    out_pkl = str(tmp_path / "aircap_results.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"aircap://{ds}",
+        "--split", "test", "--test_frames", "0", "4",
+        "--out", out_pkl, "--batch_size", "2", "--img_res", "64",
+        "--synthetic_verts", "99",
+    ])
+    res = pickle.load(open(out_pkl, "rb"))
+    assert res[0][0]["output"]["pred_pose0"].shape == (2, 135)
+
+
+def test_robust_crossview_consistency_zero_when_views_agree(rng):
+    """Identical body pose per view + identity extrinsics → zero
+    consistency error; rotated-pose disagreement → nonzero."""
+    from scipy.spatial.transform import Rotation
+
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import robust_crossview_consistency
+
+    params = synthetic_smplx_params(num_vertices=77, seed=1)
+    N = 3
+    aa = rng.normal(size=(N, 22, 3)).astype(np.float32) * 0.3
+    rm = Rotation.from_rotvec(aa.reshape(-1, 3)).as_matrix().reshape(
+        N, 22, 3, 3).astype(np.float32)
+    rotmat = np.stack([rm, rm], axis=1)
+    betas = np.zeros((N, 2, 10), np.float32)
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (N, 2, 4, 4)).copy()
+    err_idcs = np.ones(N, bool)
+    err = robust_crossview_consistency(params, rotmat, betas, extr, err_idcs)
+    assert err < 1e-5
+
+    # disagreeing body pose in view 1 → positive error
+    aa2 = aa.copy()
+    aa2[:, 1:] += 0.4
+    rm2 = Rotation.from_rotvec(aa2.reshape(-1, 3)).as_matrix().reshape(
+        N, 22, 3, 3).astype(np.float32)
+    rotmat_bad = np.stack([rm, rm2], axis=1)
+    err2 = robust_crossview_consistency(params, rotmat_bad, betas, extr, err_idcs)
+    assert err2 > 0.01
+
+    # mask selects only the agreeing frames → zero again
+    rotmat_mixed = rotmat.copy()
+    rotmat_mixed[1] = rotmat_bad[1]
+    mask = np.asarray([True, False, True])
+    err3 = robust_crossview_consistency(params, rotmat_mixed, betas, extr, mask)
+    assert err3 < 1e-5
+
+
+def test_load_vposer_ckpt_roundtrip(tmp_path):
+    """Fabricated human_body_prior-style snapshot ('vp_model.' prefixes)
+    → load_vposer_ckpt must reproduce convert_torch_state_dict exactly and
+    decode identically."""
+    import torch
+
+    from airpose_tpu.bodymodel.vposer import (
+        convert_torch_state_dict,
+        load_vposer_ckpt,
+        vposer_decode,
+    )
+
+    torch.manual_seed(0)
+    sd = {}
+    for key, (o, i) in (
+        ("encoder_net.2", (512, 63)), ("encoder_net.6", (512, 512)),
+        ("encoder_net.7", (512, 512)), ("encoder_net.8.mu", (32, 512)),
+        ("encoder_net.8.logvar", (32, 512)), ("decoder_net.0", (512, 32)),
+        ("decoder_net.3", (512, 512)), ("decoder_net.5", (126, 512)),
+    ):
+        sd[key + ".weight"] = torch.randn(o, i) * 0.05
+        sd[key + ".bias"] = torch.randn(o) * 0.05
+    for key, n in (("encoder_net.1", 63), ("encoder_net.4", 512)):
+        sd[key + ".weight"] = torch.rand(n) + 0.5
+        sd[key + ".bias"] = torch.randn(n) * 0.1
+        sd[key + ".running_mean"] = torch.randn(n) * 0.1
+        sd[key + ".running_var"] = torch.rand(n) + 0.5
+        sd[key + ".num_batches_tracked"] = torch.tensor(100)
+
+    snapshot = {"state_dict": {"vp_model." + k: v for k, v in sd.items()}}
+    path = tmp_path / "V02_05_epoch=13_val_loss=0.03.ckpt"
+    torch.save(snapshot, path)
+
+    loaded = load_vposer_ckpt(str(path))
+    direct = convert_torch_state_dict(sd)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32)),
+                    dtype=jnp.float32)
+    out = vposer_decode(loaded, z)
+    assert out["pose_body"].shape == (2, 21, 3)
+    assert np.isfinite(np.asarray(out["pose_body"])).all()

@@ -228,6 +228,59 @@ def _write_fake_real(root, n=4):
         fs.release()
 
 
+def _write_fake_aircap(root, n=5, drop_person_at=(2,)):
+    """Self-contained aircap layout (see data/aircap.py): sync stamps,
+    per-machine joints2d/camera pkls, frames. Frames in `drop_person_at`
+    get zero-confidence joints on machine 1 (pair must be skipped)."""
+    rng = np.random.default_rng(3)
+    tstamps = 100.0 + np.arange(n) * 0.25
+    np.savez(os.path.join(root, "tstamps.npz"), tstamps=tstamps)
+    for m in (1, 2):
+        os.makedirs(os.path.join(root, f"machine_{m}", "images"), exist_ok=True)
+        joints, extr = {}, {}
+        for i, t in enumerate(tstamps):
+            # machine stamps slightly offset from the sync stamps
+            key = f"{t + 0.01 * m:.6f}"
+            j = np.zeros((18, 3), np.float32)
+            j[:, 0] = rng.uniform(800, 1100, 18)
+            j[:, 1] = rng.uniform(400, 700, 18)
+            j[:, 2] = 0.0 if (m == 1 and i in drop_person_at) else 0.85
+            joints[key] = j
+            T = np.eye(4, dtype=np.float32)
+            T[:3, 3] = [0.2 * m, 0.0, 3.0]
+            extr[key] = T
+            img = (rng.random((1080 // 8, 1920 // 8, 3)) * 255).astype(np.uint8)
+            img = cv2.resize(img, (1920, 1080))
+            cv2.imwrite(
+                os.path.join(root, f"machine_{m}", "images", f"{key}.jpg"), img
+            )
+        K = np.asarray([[1400.0, 0, 960], [0, 1400.0, 540], [0, 0, 1]],
+                       np.float32)
+        with open(os.path.join(root, f"machine_{m}", "joints2d.pkl"), "wb") as f:
+            pickle.dump(joints, f)
+        with open(os.path.join(root, f"machine_{m}", "camera.pkl"), "wb") as f:
+            pickle.dump({"intr": K, "extr": extr}, f)
+
+
+def test_aircap_reader_pairing_and_gating(tmp_path, rng):
+    """Closest-timestamp pairing + both-views-person gating
+    (ref aircapData.py:46-56) and the shared host-batch interface."""
+    from airpose_tpu.data import AircapDataset
+
+    _write_fake_aircap(str(tmp_path), n=5, drop_person_at=(2,))
+    ds = AircapDataset(str(tmp_path))
+    assert len(ds) == 4  # frame 2 dropped: machine 1 saw nobody
+
+    hb = ds.host_batch([0, 1], rng)
+    assert hb["context"].shape[0] == 2
+    assert hb["gt_j2d_conf"].shape == (2, 2, 24, 3)
+    assert (hb["gt_j2d_conf"][..., 2] > 0).any()
+    batch = finish_batch(hb, jax.random.PRNGKey(0), deterministic=True,
+                         margin=0.0, out_size=64)
+    assert batch["images"].shape == (2, 2, 64, 64, 3)
+    assert np.isfinite(np.asarray(batch["images"])).all()
+
+
 def test_real_reader_end_to_end(tmp_path, rng):
     from airpose_tpu.data.real import CopenetRealDataset
 

@@ -153,6 +153,144 @@ def test_two_server_localhost_sync(served_model, rng):
     np.testing.assert_allclose(data0, data1, atol=1e-4)
 
 
+def _start_loop_with_server(server_obj, port):
+    from airpose_tpu.serve.server import run_server
+
+    loop = asyncio.new_event_loop()
+
+    def run_loop():
+        asyncio.set_event_loop(loop)
+        loop.create_task(run_server(None, server_obj.robot_id, port,
+                                    server=server_obj))
+        loop.run_forever()
+
+    t = threading.Thread(target=run_loop, daemon=True)
+    t.start()
+    import time
+
+    time.sleep(0.5)
+    return loop
+
+
+def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
+    """Peer-timeout recovery: with NO peer connected, the server must still
+    answer (mean-parameter peer fallback) instead of stalling — the
+    real-time flight semantics (a lost drone link degrades accuracy, never
+    blocks the pipeline)."""
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    reg = StagedRegressor(variables)
+    srv = AirPoseServer(reg, robot_id=1, peer_timeout=0.2)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop = _start_loop_with_server(srv, port)
+    try:
+        img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
+        bb = np.asarray([0.0, 0.0, 1.0], np.float32)
+        init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+        fid, data = _client_request(port, 3, img, bb, init_trans)
+        assert fid == 3 and np.isfinite(data).all()
+        assert srv.peer_timeouts == 2  # rounds 2 and 3 both degraded
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+
+    from airpose_tpu.serve.server import _normalize
+
+    state = reg.step1(_normalize(img)[None], bb[None], init_trans[None])
+    mean_art, mean_shape = reg._mean_art[0], reg._mean_shape[0]
+    for _ in range(2):
+        state = reg.step23(state, bb[None], mean_art[None], mean_shape[None])
+    want = state_to_wire(state)
+    np.testing.assert_allclose(data, want, atol=1e-4)
+
+
+def test_latest_frame_wins_drop_policy(served_model, rng):
+    """Real-time semantics: a backlog of frames is dropped down to the
+    newest (the reference's 4-FPS loop drops to stay real-time). A slowed
+    regressor guarantees frames 1..n-2 queue up behind frame 0."""
+    import time as _time
+
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    base = StagedRegressor(variables)
+
+    class SlowReg:
+        _mean_art = base._mean_art
+        _mean_shape = base._mean_shape
+
+        def step1(self, *a):
+            _time.sleep(0.4)
+            return base.step1(*a)
+
+        def step23(self, *a):
+            return base.step23(*a)
+
+    srv = AirPoseServer(SlowReg(), robot_id=1, peer_timeout=0.05)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop = _start_loop_with_server(srv, port)
+    try:
+        img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
+        bb = np.asarray([0.0, 0.0, 1.0], np.float32)
+        init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+        sock = socket.create_connection(("127.0.0.1", port), timeout=60)
+        for f in range(4):  # burst: all queued while frame 0 processes
+            sock.sendall(P.encode_image(0, f, bb, init_trans, img))
+        got = []
+        for _ in range(2):  # frame 0 + the newest (3); 1 and 2 dropped
+            msg = P.read_message_sync(sock)
+            assert msg is not None and msg[0] == P.MSG_RESULT
+            got.append(P.decode_step(msg[1])[0])
+        sock.close()
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+
+    assert got[0] == 0 and got[-1] == 3, got
+    assert srv.frames_dropped == 2
+
+
+def test_benchtest_served_matches_offline(tmp_path, rng):
+    """The served-vs-offline benchtest tool: with the same checkpoint and
+    the same uint8 crops, step3 over the live 3-round protocol must match
+    the fused offline forward to float tolerance (the reference's rosbag
+    comparison, copenet_real_res_compile.py:193-296, with the quantization
+    made common so the diff isolates the protocol path)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_real
+
+    from airpose_tpu.data import CopenetRealDataset
+    from airpose_tpu.eval.compile_results import real_batches
+    from airpose_tpu.serve.benchtest import run_benchtest
+
+    ds_dir = str(tmp_path / "real")
+    os.makedirs(ds_dir)
+    _write_fake_real(ds_dir, n=3)
+    ds = CopenetRealDataset(ds_dir, frame_range=range(0, 3))
+
+    model = AirPoseTwoView()
+    x = jnp.zeros((1, 2, 64, 64, 3))
+    variables = model.init(
+        jax.random.PRNGKey(9), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
+    )
+    batches = list(real_batches(ds, 3, out_size=64))
+    diffs = run_benchtest(variables, batches, model=model)
+    assert set(diffs) == {
+        "beta_m1", "beta_m2", "trans_m1", "trans_m2", "pose_m1", "pose_m2"
+    }
+    for k, v in diffs.items():
+        assert v < 1e-3, (k, v)
+
+
 def test_sep_staged_matches_sep_fused(rng):
     """Per-drone-weights serving: staged steps through AirPoseTwoViewSepView
     (each robot using its own trunk/core) equal the fused _sep forward."""

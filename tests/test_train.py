@@ -107,6 +107,39 @@ def test_data_parallel_step_on_mesh(smplx_small, dataset):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_data_parallel_step_numerically_equals_single_device(
+    smplx_small, dataset
+):
+    """DP correctness, not just liveness: same batch + same key on 1 device
+    vs sharded over 8 devices must give the same loss AND the same updated
+    parameters (this is the test that catches a wrong psum / BatchNorm
+    cross-shard interaction)."""
+    cfg = TrainConfig(lr=1e-4, batch_size=8)
+    batch = batch_slice(dataset, 0, 8)
+    key = jax.random.PRNGKey(11)
+
+    # two identical fresh states (train_step donates its input)
+    model, state_a, tx = _init("copenet_twoview", batch, cfg)
+    _, state_b, _ = _init("copenet_twoview", batch, cfg)
+    train_step, _ = make_twoview_step_fns(model, smplx_small, cfg, tx)
+
+    state_1dev, m1 = train_step(state_a, batch, key)
+
+    mesh = make_mesh(8)
+    sharded = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    state_8dev, m8 = train_step(state_b, sharded, key)
+
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-4)
+    leaves_1 = jax.tree.leaves(jax.device_get(state_1dev.params))
+    leaves_8 = jax.tree.leaves(jax.device_get(state_8dev.params))
+    for a, b in zip(leaves_1, leaves_8):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+    stats_1 = jax.tree.leaves(jax.device_get(state_1dev.batch_stats))
+    stats_8 = jax.tree.leaves(jax.device_get(state_8dev.batch_stats))
+    for a, b in zip(stats_1, stats_8):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+
+
 def test_train_reg_only_freezes_trunk(smplx_small, dataset):
     from airpose_tpu.train.state import make_optimizer
 
