@@ -376,6 +376,56 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     return outputs, metrics
 
 
+def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
+                            batch_size: int, cfg, cam: int,
+                            out_size: int = 224):
+    """Real-data Baseline (hmr) compile for ONE camera — the reference
+    evaluates two hmr nets pinned to cam0/cam1 via ``first_cam`` and writes
+    one outputs pkl per camera (ref scripts/hmr_real_res_compile.py; the
+    AirPose+ driver consumes them as the 'bl_' baseline trajectories,
+    bundle_adj.py:152-166). ``ds`` must be constructed with
+    ``first_cam=cam`` so view 0 is that camera."""
+    import jax
+    import jax.numpy as jnp
+
+    from .. import constants as C
+    from ..geometry.projection import weak_cam_crop_to_full_trans
+    from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
+    from ..train.loop import make_real_singleview_step_fns
+    from ..train.state import make_optimizer
+
+    tx = make_optimizer(cfg.lr)
+    _, eval_step = make_real_singleview_step_fns(
+        model, smplx_params, vposer_params, cfg, tx, "hmr_camswap_difffl"
+    )
+    focal_full = (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)[cam]
+
+    outputs, losses = [], []
+    for batch in real_batches(ds, batch_size, out_size=out_size):
+        B = int(batch["images"].shape[0])
+        metrics, out = eval_step(state, batch)
+        losses.append(float(metrics["loss"]))
+        rotmat = np.asarray(
+            rot6d_to_rotmat(jnp.asarray(out.pose6d).reshape(B, 22, 6))
+        )
+        # full-image translation from the crop-frame weak camera, through
+        # this camera's real intrinsics (ref hmr.py:163-193 reprojection;
+        # the weak camera itself uses the crop focal 5000,
+        # hmr_camswap_difffl.py:78-80)
+        trans = np.asarray(weak_cam_crop_to_full_trans(
+            jnp.asarray(out.cam), jnp.asarray(batch["bb"][:, 0]),
+            jnp.asarray(batch["intr"][:, 0]), (5000.0, 5000.0), cfg.img_res,
+        ))
+        outputs.append({"output": {
+            "pred_angles": np.asarray(rotmat_to_aa(jnp.asarray(rotmat))),
+            "pred_betas": np.asarray(out.betas),
+            "pred_smpltrans": trans,
+            "pred_cam": np.asarray(out.cam),
+        }})
+    return outputs, {"loss": float(np.mean(losses)), "camera": float(cam),
+                     "focal_x": float(focal_full[0])}
+
+
 # ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
@@ -486,15 +536,40 @@ def main(argv=None):
         ranges = {"test": range(*args.test_frames),
                   "train": range(*args.train_frames)}
         err = np.load(args.err_idcs) if args.err_idcs else None
-        for split in args.split:
+
+        def real_ds(split, first_cam):
             if is_aircap:
                 # cross-dataset eval (the reference's --testdata=aircapdata,
                 # ref copenet/dsets/aircapData.py:29-304)
-                ds = AircapDataset(path, drange=ranges[split],
-                                   first_cam=args.first_cam)
-            else:
-                ds = CopenetRealDataset(path, frame_range=ranges[split],
-                                        first_cam=args.first_cam)
+                return AircapDataset(path, drange=ranges[split],
+                                     first_cam=first_cam)
+            return CopenetRealDataset(path, frame_range=ranges[split],
+                                      first_cam=first_cam)
+
+        if args.model == "hmr":
+            # Baseline on real data: one outputs pkl PER CAMERA, suffixes
+            # "0"/"1" (ref hmr_real_res_compile.py / bundle_adj.py:152-154
+            # loading fname+"0", fname+"1")
+            for cam in (0, 1):
+                cam_splits = []
+                for split in args.split:
+                    ds = real_ds(split, cam)
+                    B = min(args.batch_size, len(ds))
+                    outputs, metrics = compile_real_singleview(
+                        state, model, smplx_params, vposer_params, ds, B,
+                        cfg, cam, out_size=args.img_res,
+                    )
+                    cam_splits.append(outputs)
+                    metrics_by_split[f"{split}_cam{cam}"] = metrics
+                with open(args.out + str(cam), "wb") as f:
+                    pickle.dump(cam_splits, f)
+                print(f"wrote {args.out}{cam}")
+            for split, metrics in metrics_by_split.items():
+                for k, v in metrics.items():
+                    print(f"{split}_{k}: {v:.4f}")
+            return
+        for split in args.split:
+            ds = real_ds(split, args.first_cam)
             B = min(args.batch_size, len(ds))
             outputs, metrics = compile_real_twoview(
                 state, model, smplx_params, vposer_params, ds, B, cfg,

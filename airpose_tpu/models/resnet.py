@@ -65,13 +65,15 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Input (B, 224, 224, 3) → (B, 2048) GAP feature."""
+    """Input (B, 224, 224, 3) → (B, 2048) GAP feature. The ``part``
+    argument exposes the sub-graphs around layer1 so the inference path
+    can splice in the pallas fused layer1 stage (ops/fused_bottleneck.py)
+    without duplicating parameters."""
 
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def _stem(self, x, train: bool):
         x = x.astype(self.dtype)
         x = nn.Conv(
             64,
@@ -91,11 +93,14 @@ class ResNet50(nn.Module):
             name="bn1",
         )(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+    def _stages(self, x, train: bool, first_stage: int = 0):
         for stage, (planes, blocks) in enumerate(
             zip((64, 128, 256, 512), self.stage_sizes)
         ):
+            if stage < first_stage:
+                continue
             for block in range(blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = Bottleneck(
@@ -105,6 +110,19 @@ class ResNet50(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
-
         # Global average pool; the feature feeds the f32 IEF regressor.
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, part: str = "full"):
+        """``part``: 'full' (default), 'stem' ((B,224,224,3) →
+        (B,56,56,64) conv1+bn+relu+maxpool), or 'tail' ((B,56,56,256)
+        layer1 output → (B,2048) layers 2-4 + GAP). The split points let
+        the inference path splice in the pallas fused layer1 stage."""
+        if part in ("full", "stem"):
+            x = self._stem(x, train)
+            if part == "stem":
+                return x
+            return self._stages(x, train)
+        assert part == "tail", part
+        return self._stages(x.astype(self.dtype), train, first_stage=1)

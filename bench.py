@@ -14,7 +14,11 @@ chip, BASELINE.md); the reference's own end-to-end figure is 4 FPS.
 Timing notes (this environment): block_until_ready does not synchronize on
 the axon relay backend, so the timed region ends with a device→host
 transfer; the timing loop runs inside one jit with the image depending on
-the scan carry so XLA cannot hoist the trunk.
+the scan carry so XLA cannot hoist the trunk. The relay adds a measured
+~28 ms fixed dispatch+transfer cost PER JIT CALL (a trivial scan step costs
+0.95 ms/iter at length 30 but ~0 at length 200), so the loop runs 200
+iterations to report steady-state device throughput rather than relay
+round-trip latency.
 """
 
 import json
@@ -31,7 +35,7 @@ from airpose_tpu.models import AirPoseTwoView
 from airpose_tpu.train.losses import cam_frame_and_project
 
 B = 64
-N_ITERS = 30
+N_ITERS = 200
 
 
 def main():

@@ -90,6 +90,33 @@ def test_compile_results_real(tmp_path, capsys):
     assert np.isfinite(out["pred_pose0"]).all()
 
 
+def test_compile_results_real_hmr_per_camera(tmp_path, capsys):
+    """Baseline-on-real compile: one outputs pkl per camera with suffixes
+    '0'/'1' (ref hmr_real_res_compile.py; the AirPose+ driver's baseline
+    trajectories load exactly these files)."""
+    from airpose_tpu.eval.compile_results import main
+
+    ds = tmp_path / "real"
+    os.makedirs(ds)
+    _write_fake_real(str(ds), n=4)
+
+    out_pkl = str(tmp_path / "hmr_real.pkl")
+    main([
+        "--model", "hmr", "--datapath", f"real://{ds}",
+        "--split", "test", "--test_frames", "0", "4",
+        "--out", out_pkl, "--batch_size", "2", "--img_res", "64",
+        "--synthetic_verts", "99",
+    ])
+    for cam in (0, 1):
+        res = pickle.load(open(out_pkl + str(cam), "rb"))
+        out = res[0][0]["output"]
+        assert out["pred_angles"].shape == (2, 22, 3)
+        assert out["pred_smpltrans"].shape == (2, 3)
+        assert np.isfinite(out["pred_smpltrans"]).all()
+    printed = capsys.readouterr().out
+    assert "test_cam0_loss" in printed and "test_cam1_loss" in printed
+
+
 def test_compile_results_aircap(tmp_path):
     """Cross-dataset eval over the aircap layout (the reference's
     --testdata=aircapdata path) through the same real compile pass."""
