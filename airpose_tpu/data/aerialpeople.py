@@ -128,8 +128,8 @@ class AerialPeopleDataset:
                    num_threads: int = 8) -> Dict:
         """Assemble a host batch: fixed-size uint8 context windows + GT in
         the canonical layout. Device-side ops finish preprocessing. Sample
-        IO + JPEG decode run on a thread pool (num_threads)."""
-        from concurrent.futures import ThreadPoolExecutor
+        IO + JPEG decode run on the shared decode pool (num_threads)."""
+        from .pipeline import decode_pool
 
         B = len(indices)
         S = self.context_size
@@ -154,10 +154,9 @@ class AerialPeopleDataset:
             for _ in indices
         ]
         if num_threads > 1 and len(indices) > 1:
-            with ThreadPoolExecutor(num_threads) as ex:
-                loaded = list(ex.map(
-                    lambda i: self._load_decoded(i, decode_images), indices
-                ))
+            loaded = list(decode_pool(num_threads).map(
+                lambda i: self._load_decoded(i, decode_images), indices
+            ))
         else:
             loaded = [self._load_decoded(i, decode_images) for i in indices]
 

@@ -22,6 +22,7 @@ parity is defined on the deterministic eval path — SURVEY.md §7 risks.)
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Tuple
 
 import jax
@@ -29,6 +30,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import constants as C
+
+_DECODE_POOL = None
+_DECODE_POOL_LOCK = threading.Lock()
+
+
+def decode_pool(num_threads: int = 8) -> ThreadPoolExecutor:
+    """Process-wide JPEG-decode thread pool shared by the dataset readers
+    (cv2.imread releases the GIL). A persistent pool: spawning/joining one
+    per batch measured ~50 ms of pure thread churn at batch 30."""
+    global _DECODE_POOL
+    with _DECODE_POOL_LOCK:
+        if _DECODE_POOL is None:
+            _DECODE_POOL = ThreadPoolExecutor(num_threads)
+    return _DECODE_POOL
 
 
 def crop_resize_pad(
@@ -118,33 +133,82 @@ def bb_encoding(
 
 
 class Prefetcher:
-    """Double-buffered host→device prefetch: loads/uploads batch k+1 while
-    the step for batch k runs. Replaces DataLoader pin_memory+workers
-    (ref copenet_twoview.py:427-443) for the device-transfer half."""
+    """Host→device prefetch: builds/uploads upcoming batches while the
+    current step runs. Replaces DataLoader pin_memory+workers
+    (ref copenet_twoview.py:427-443).
 
-    def __init__(self, iterator: Iterator, sharding=None, depth: int = 2):
-        self._it = iterator
+    Two modes:
+      * ``Prefetcher(iterator)`` — one worker drains an iterator (ordered;
+        right for deterministic eval streams);
+      * ``Prefetcher.from_factory(make_batch, num_workers=N)`` — N workers
+        each call ``make_batch(worker_id)`` repeatedly and push results
+        (unordered; right for infinite random training streams, where the
+        reference used 8-30 DataLoader worker processes). ``make_batch``
+        must be thread-safe across distinct worker_ids.
+    """
+
+    def __init__(self, iterator: Iterator = None, sharding=None,
+                 depth: int = 2):
         self._sharding = sharding
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._error = None
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = []
+        self._live_workers = 0
+        self._lock = threading.Lock()
+        if iterator is not None:
+            self._start([lambda _wid: None], iterator=iterator)
 
-    def _worker(self):
-        try:
-            for batch in self._it:
-                if self._sharding is not None:
-                    batch = jax.tree.map(
-                        lambda x: jax.device_put(x, self._sharding), batch
-                    )
-                else:
-                    batch = jax.tree.map(jnp.asarray, batch)
-                self._q.put(batch)
-        except BaseException as e:  # surfaced in __next__, not swallowed
-            self._error = e
-        finally:
-            self._q.put(self._done)
+    @classmethod
+    def from_factory(cls, make_batch, num_workers: int = 2, sharding=None,
+                     depth: int = 4) -> "Prefetcher":
+        self = cls(iterator=None, sharding=sharding,
+                   depth=max(depth, num_workers))
+        self._start([make_batch] * num_workers, iterator=None)
+        return self
+
+    def _put(self, batch):
+        if self._sharding is not None:
+            batch = jax.tree.map(
+                lambda x: jax.device_put(x, self._sharding), batch
+            )
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
+        self._q.put(batch)
+
+    def _start(self, factories, iterator):
+        self._live_workers = len(factories)
+
+        def iter_worker():
+            try:
+                for batch in iterator:
+                    self._put(batch)
+            except BaseException as e:  # surfaced in __next__, not swallowed
+                self._error = e
+            finally:
+                self._finish_one()
+
+        def factory_worker(wid, make_batch):
+            try:
+                while True:
+                    self._put(make_batch(wid))
+            except BaseException as e:
+                self._error = e
+            finally:
+                self._finish_one()
+
+        for wid, f in enumerate(factories):
+            target = (iter_worker if iterator is not None
+                      else (lambda w=wid, mb=f: factory_worker(w, mb)))
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def _finish_one(self):
+        with self._lock:
+            self._live_workers -= 1
+            if self._live_workers == 0:
+                self._q.put(self._done)
 
     def __iter__(self):
         return self

@@ -148,9 +148,9 @@ class CopenetRealDataset:
 
     def host_batch(self, indices, rng: np.random.Generator,
                    decode_images: bool = True, num_threads: int = 8) -> Dict:
-        from concurrent.futures import ThreadPoolExecutor
-
         import cv2
+
+        from .pipeline import decode_pool
 
         B = len(indices)
         S = self.context_size
@@ -184,8 +184,7 @@ class CopenetRealDataset:
                 return job, cv2.imread(self.image_paths[cam][idx])
 
             if num_threads > 1 and len(jobs) > 1:
-                with ThreadPoolExecutor(num_threads) as ex:
-                    decoded = dict(ex.map(_read, jobs))
+                decoded = dict(decode_pool(num_threads).map(_read, jobs))
             else:
                 decoded = dict(map(_read, jobs))
 

@@ -564,9 +564,13 @@ def main(argv=None):
                 with open(args.out + str(cam), "wb") as f:
                     pickle.dump(cam_splits, f)
                 print(f"wrote {args.out}{cam}")
+            import json
+
             for split, metrics in metrics_by_split.items():
                 for k, v in metrics.items():
                     print(f"{split}_{k}: {v:.4f}")
+            with open(args.out + ".metrics.json", "w") as f:
+                json.dump(metrics_by_split, f, indent=1)
             return
         for split in args.split:
             ds = real_ds(split, args.first_cam)
@@ -615,11 +619,15 @@ def main(argv=None):
             per_split.append(outputs)
             metrics_by_split[split] = metrics
 
+    import json
+
     for split, metrics in metrics_by_split.items():
         for k, v in metrics.items():
             print(f"{split}_{k}: {v:.4f}")
     with open(args.out, "wb") as f:
         pickle.dump(per_split, f)
+    with open(args.out + ".metrics.json", "w") as f:
+        json.dump(metrics_by_split, f, indent=1)
     print(f"wrote {args.out} ({[len(o) for o in per_split]} batches per split)")
 
 

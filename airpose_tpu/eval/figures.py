@@ -77,14 +77,30 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     args = p.parse_args(argv)
 
+    import json
+
     os.makedirs(args.out, exist_ok=True)
     trajs = {}
+    metrics_by_model = {}
     for entry in args.results:
         name, path = entry.split("=", 1)
         outputs = pickle.load(open(path, "rb"))[0]
-        trajs[name] = relative_camera_trajectory(outputs)
+        if outputs and "pred_angles0" in outputs[0]["output"]:
+            trajs[name] = relative_camera_trajectory(outputs)
+        # cross-model metric table (final_res_compile parity) from the
+        # sidecar metrics compile_results writes
+        mpath = path + ".metrics.json"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                for split, m in json.load(f).items():
+                    metrics_by_model[f"{name}/{split}"] = m
     plot_trajectories(trajs, os.path.join(args.out, "cam_trajectory.png"))
     print(f"wrote {args.out}/cam_trajectory.png")
+    if metrics_by_model:
+        table = metric_table(metrics_by_model)
+        with open(os.path.join(args.out, "metrics.md"), "w") as f:
+            f.write(table + "\n")
+        print(table)
 
 
 if __name__ == "__main__":

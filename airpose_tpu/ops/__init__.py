@@ -1,3 +1,5 @@
+from .int8_trunk import (calibrate_act_scales, quantize_trunk_params,
+                         resnet50_int8_infer)
 from .fused_bottleneck import (
     fold_bn_into_conv,
     fuse_stage_params,
@@ -12,4 +14,7 @@ __all__ = [
     "fused_stage1",
     "resnet50_fused_infer",
     "stage1_params_from_variables",
+    "quantize_trunk_params",
+    "calibrate_act_scales",
+    "resnet50_int8_infer",
 ]

@@ -65,6 +65,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "jax_debug_nans pinpoints the producing op, and each "
                         "step's metrics are finite-checked with a per-term "
                         "report on failure")
+    t.add_argument("--data_workers", type=int, default=4,
+                   help="parallel host batch builders for the on-disk/real "
+                        "training stream (the reference's 8-30 DataLoader "
+                        "workers); batch order across workers is unordered")
+    t.add_argument("--context_size", type=int, default=672,
+                   help="host->device context window size; upload traffic "
+                        "is quadratic in it (PERF.md: this environment's "
+                        "relay uploads at ~37 MB/s, so 336 quarters the "
+                        "per-batch transfer at the cost of crop resolution "
+                        "for large windows)")
     t.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000),
                    help="real:// train frame range (ref copenet_real.py:22)")
     t.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
@@ -273,17 +283,17 @@ def main(argv=None):
         # fixed camera order: the per-view focal lengths differ (the
         # reference also trains the real twoview with shuffle_cams=False)
         train_ds = CopenetRealDataset(
-            path, frame_range=range(*args.train_frames), shuffle_cams=False)
-        test_ds = CopenetRealDataset(path, frame_range=range(*args.test_frames))
+            path, frame_range=range(*args.train_frames), shuffle_cams=False,
+            context_size=args.context_size)
+        test_ds = CopenetRealDataset(path, frame_range=range(*args.test_frames),
+                                     context_size=args.context_size)
         print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
-        key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
 
         from .. import constants as C
 
-        def _finish_real(ds, idx, rng_np):
+        def _finish_real(ds, idx, rng_np, key):
             hb = ds.host_batch(idx, rng_np)
-            key_holder[0], sub = jax.random.split(key_holder[0])
-            b = finish_batch(hb, sub, deterministic=True, margin=0.0)
+            b = finish_batch(hb, key, deterministic=True, margin=0.0)
             b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
             # per-camera focal lengths (ref copenet_real/constants.py:12-13,
             # used by the real loss's projection, copenet_twoview.py:300-306)
@@ -292,62 +302,86 @@ def main(argv=None):
             )
             return b
 
-        def _train_batches_raw():
-            rng_np = np.random.default_rng(cfg.seed)
-            while True:
-                idx = rng_np.integers(0, len(train_ds), size=cfg.batch_size)
-                yield _finish_real(train_ds, idx, rng_np)
-
         def train_batches():
             from ..data.pipeline import Prefetcher
 
-            return Prefetcher(_train_batches_raw())
+            # per-worker deterministic streams; interleaving is unordered
+            # (the training stream is random sampling anyway)
+            worker_state = {}
+
+            def make_batch(wid):
+                if wid not in worker_state:
+                    worker_state[wid] = [
+                        np.random.default_rng(cfg.seed + wid),
+                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
+                    ]
+                st = worker_state[wid]
+                idx = st[0].integers(0, len(train_ds), size=cfg.batch_size)
+                st[1], sub = jax.random.split(st[1])
+                return _finish_real(train_ds, idx, st[0], sub)
+
+            return Prefetcher.from_factory(
+                make_batch, num_workers=max(1, args.data_workers))
 
         def val_batches():
             rng_np = np.random.default_rng(cfg.seed)
+            key = jax.random.PRNGKey(cfg.seed + 1)
             bs = min(cfg.val_batch_size, len(test_ds))
             for s in range(0, min(len(test_ds), 4 * bs) - bs + 1, bs):
-                yield _finish_real(test_ds, list(range(s, s + bs)), rng_np)
+                key, sub = jax.random.split(key)
+                yield _finish_real(test_ds, list(range(s, s + bs)), rng_np, sub)
     else:
         # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
         # output): host reader -> device-side finish_batch preprocessing.
         from ..data import AerialPeopleDataset
         from ..data.pipeline import finish_batch
 
-        train_ds = AerialPeopleDataset(args.datapath, "train")
-        test_ds = AerialPeopleDataset(args.datapath, "test")
+        train_ds = AerialPeopleDataset(args.datapath, "train",
+                                       context_size=args.context_size)
+        test_ds = AerialPeopleDataset(args.datapath, "test",
+                                      context_size=args.context_size)
         print(f"loaded {len(train_ds)} train / {len(test_ds)} test samples")
         train_ds.precompute_canonical_gt(smplx_params, genders_to_params)
         test_ds.precompute_canonical_gt(smplx_params, genders_to_params)
-        key_holder = [jax.random.PRNGKey(cfg.seed + 1)]
 
-        def _finish(ds, idx, rng_np, deterministic):
+        def _finish(ds, idx, rng_np, deterministic, key):
             hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
             # attach cached canonical GT
             hb["gt_vertices"] = ds._gt_cache["vertices"][idx]
             hb["gt_joints"] = ds._gt_cache["joints"][idx]
             hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
-            key_holder[0], sub = jax.random.split(key_holder[0])
-            return finish_batch(hb, sub, deterministic=deterministic)
-
-        def _train_batches_raw():
-            rng_np = np.random.default_rng(cfg.seed)
-            while True:
-                idx = rng_np.integers(0, len(train_ds), size=cfg.batch_size)
-                yield _finish(train_ds, idx, rng_np, False)
+            return finish_batch(hb, key, deterministic=deterministic)
 
         def train_batches():
-            # double-buffer host decode/preprocess against the train step
+            # parallel host batch builders overlapped with the train step
+            # (the reference's 8-30 DataLoader workers,
+            # copenet_twoview.py:427-443)
             from ..data.pipeline import Prefetcher
 
-            return Prefetcher(_train_batches_raw())
+            worker_state = {}
+
+            def make_batch(wid):
+                if wid not in worker_state:
+                    worker_state[wid] = [
+                        np.random.default_rng(cfg.seed + wid),
+                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
+                    ]
+                st = worker_state[wid]
+                idx = st[0].integers(0, len(train_ds), size=cfg.batch_size)
+                st[1], sub = jax.random.split(st[1])
+                return _finish(train_ds, idx, st[0], False, sub)
+
+            return Prefetcher.from_factory(
+                make_batch, num_workers=max(1, args.data_workers))
 
         def val_batches():
             rng_np = np.random.default_rng(cfg.seed)
+            key = jax.random.PRNGKey(cfg.seed + 1)
             n = len(test_ds)
             bs = min(cfg.val_batch_size, n)
             for s in range(0, n - bs + 1, bs):
-                yield _finish(test_ds, list(range(s, s + bs)), rng_np, True)
+                key, sub = jax.random.split(key)
+                yield _finish(test_ds, list(range(s, s + bs)), rng_np, True, sub)
 
     # ---- model + steps ----
     model_cls = MODEL_REGISTRY[cfg.model]

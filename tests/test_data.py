@@ -316,6 +316,39 @@ def test_prefetcher_orders_and_terminates():
         assert int(np.asarray(b["x"])[0]) == i
 
 
+def test_prefetcher_factory_mode_parallel_workers():
+    """from_factory: N workers each produce batches; all workers get used
+    and every batch is one of the workers' deterministic streams."""
+    import time
+
+    from airpose_tpu.data.pipeline import Prefetcher
+
+    seen_workers = set()
+
+    def make_batch(wid):
+        seen_workers.add(wid)
+        time.sleep(0.01)
+        return {"wid": np.asarray([wid], np.int32)}
+
+    pf = Prefetcher.from_factory(make_batch, num_workers=3)
+    got = [int(np.asarray(next(pf)["wid"])[0]) for _ in range(12)]
+    assert set(got) <= {0, 1, 2}
+    assert len(seen_workers) == 3
+
+
+def test_prefetcher_factory_propagates_errors():
+    from airpose_tpu.data.pipeline import Prefetcher
+
+    def bad(wid):
+        raise ValueError("boom")
+
+    pf = Prefetcher.from_factory(bad, num_workers=2)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        next(pf)
+
+
 def test_prefetcher_propagates_worker_errors():
     def bad():
         yield {"x": np.ones(2)}
