@@ -388,7 +388,7 @@ def main(argv=None):
 
     from ..bodymodel import (init_vposer_params, load_smplx_npz,
                              load_vposer_ckpt, synthetic_smplx_params)
-    from ..data import CopenetRealDataset
+    from ..data import AircapDataset, CopenetRealDataset
     from ..eval.figures import plot_trajectories, relative_camera_trajectory
 
     if args.smplx_model_dir:
@@ -403,12 +403,18 @@ def main(argv=None):
               flush=True)
         vposer_params = init_vposer_params(0)
 
-    path = args.datapath[len("real://"):] if args.datapath.startswith(
-        "real://") else args.datapath
     frange = (range(*args.test_frames) if args.split == "test"
               else range(*args.train_frames))
-    ds = CopenetRealDataset(path, frame_range=frange,
-                            kp_agrmnt_threshold=args.kp_threshold)
+    if args.datapath.startswith("aircap://"):
+        # the reference's aircapfit.py role: the same SMPLify-style fit
+        # over an AirCap capture (single keypoint set duplicated in both
+        # slots by the reader)
+        ds = AircapDataset(args.datapath[len("aircap://"):], drange=frange)
+    else:
+        path = args.datapath[len("real://"):] if args.datapath.startswith(
+            "real://") else args.datapath
+        ds = CopenetRealDataset(path, frame_range=frange,
+                                kp_agrmnt_threshold=args.kp_threshold)
 
     with open(args.airpose_pkl, "rb") as f:
         per_split = pickle.load(f)

@@ -1,3 +1,19 @@
-from .mesh import batch_sharding, make_mesh, replicate, shard_batch
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    make_mesh_2d,
+    param_spec,
+    replicate,
+    shard_batch,
+    shard_params_tp,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "make_mesh_2d",
+    "param_spec",
+    "replicate",
+    "shard_batch",
+    "shard_params_tp",
+]

@@ -7,6 +7,15 @@ psum over ICI. BatchNorm statistics are computed with global-mean semantics
 automatically under GSPMD (jnp.mean over a sharded axis lowers to a
 cross-replica reduction), which the reference never had.
 
+An optional 2-D ``("data", "model")`` mesh adds tensor parallelism for the
+wide parameters (the IEF fc1/fc2 kernels and the deep conv stacks'
+output-channel dims — SURVEY.md §2.8 "optionally shard the 2048×1024 fc"):
+weights are sharded on "model", GSPMD propagates the activation shardings
+and inserts the all-gathers/reduce-scatters over ICI. ResNet-50 fits one
+chip comfortably, so TP here is a scale-out option (bigger trunks, larger
+per-chip batches), not a necessity — exactly the posture the survey
+prescribes.
+
 The model's view axis is NOT a mesh axis — both views of a sample live on
 the same chip so the cross-view exchange stays collective-free (SURVEY.md
 §2.8 "sequence parallel" row).
@@ -25,6 +34,40 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D ("data", "model") mesh: dp × tp."""
+    devices = jax.devices()[: n_data * n_model]
+    return Mesh(np.asarray(devices).reshape(n_data, n_model),
+                ("data", "model"))
+
+
+def param_spec(a, n_model: int, min_dim: int = 512) -> P:
+    """Tensor-parallel partition rule for one parameter-shaped leaf:
+    shard the output dim of wide Dense kernels ((in, out) with out ≥
+    min_dim) and of wide conv kernels ((kh, kw, cin, cout)) over "model";
+    replicate everything else (biases, BN, small heads). Applied uniformly
+    to params AND the optimizer moments (same shapes → consistent)."""
+    shape = np.shape(a)
+    if len(shape) == 2 and shape[1] >= min_dim and shape[1] % n_model == 0:
+        return P(None, "model")
+    if len(shape) == 4 and shape[3] >= min_dim and shape[3] % n_model == 0:
+        return P(None, None, None, "model")
+    return P()
+
+
+def shard_params_tp(tree, mesh: Mesh, min_dim: int = 512):
+    """Place a parameter-shaped pytree (params / batch_stats / optimizer
+    moments) on a 2-D mesh with the TP rule."""
+    n_model = mesh.shape["model"]
+
+    def put(a):
+        return jax.device_put(
+            a, NamedSharding(mesh, param_spec(a, n_model, min_dim))
+        )
+
+    return jax.tree.map(put, tree)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

@@ -129,15 +129,70 @@ def test_data_parallel_step_numerically_equals_single_device(
     sharded = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
     state_8dev, m8 = train_step(state_b, sharded, key)
 
-    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=2e-4)
+    # Bounds: cross-shard reduction order perturbs gradients at ~1e-7
+    # relative, but the ×60 squared-error loss amplifies that to ~1e-3 and
+    # amsgrad's sign-normalized updates flip by ±lr on near-zero-gradient
+    # params — so loss within 1e-3 relative and params within ~3·lr
+    # absolute. A wrong psum/BatchNorm interaction would be off by
+    # O(param) ≈ 1e-2..1, far beyond these.
+    assert float(m1["loss"]) == pytest.approx(float(m8["loss"]), rel=1e-3)
     leaves_1 = jax.tree.leaves(jax.device_get(state_1dev.params))
     leaves_8 = jax.tree.leaves(jax.device_get(state_8dev.params))
     for a, b in zip(leaves_1, leaves_8):
-        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-6)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=3 * cfg.lr)
+    # Stats bound note: the CPU backend (oneDNN) picks different conv
+    # algorithms for the per-shard batch size, and that ~1e-6/conv drift
+    # compounds through the trunk's 53 train-mode BN layers — a few 1e-4
+    # absolute on O(0.1) stats. A local-instead-of-global BN mean (the bug
+    # this test exists to catch) would be off by O(value) ≈ 0.1.
     stats_1 = jax.tree.leaves(jax.device_get(state_1dev.batch_stats))
     stats_8 = jax.tree.leaves(jax.device_get(state_8dev.batch_stats))
     for a, b in zip(stats_1, stats_8):
-        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-3)
+
+
+def test_dp_x_tp_step_numerically_equals_single_device(smplx_small, dataset):
+    """2-D ("data","model") mesh: batch sharded over data, wide fc/conv
+    kernels sharded over model — same loss and parameters as one device
+    (up to sharded-reduction order)."""
+    from airpose_tpu.parallel import make_mesh_2d, param_spec, shard_params_tp
+    from jax.sharding import PartitionSpec as P
+
+    cfg = TrainConfig(lr=1e-4, batch_size=8)
+    batch = batch_slice(dataset, 0, 8)
+    key = jax.random.PRNGKey(13)
+
+    model, state_a, tx = _init("copenet_twoview", batch, cfg)
+    _, state_b, _ = _init("copenet_twoview", batch, cfg)
+    train_step, _ = make_twoview_step_fns(model, smplx_small, cfg, tx)
+
+    # the TP rule must actually shard the big regressor kernels
+    fc1 = state_a.params["core"]["fc1"]["kernel"]
+    assert param_spec(fc1, 2) == P(None, "model")
+    assert param_spec(state_a.params["core"]["fc1"]["bias"], 2) == P()
+
+    state_1dev, m1 = train_step(state_a, batch, key)
+
+    mesh = make_mesh_2d(4, 2)
+    state_b = state_b.replace(
+        params=shard_params_tp(state_b.params, mesh),
+        batch_stats=shard_params_tp(state_b.batch_stats, mesh),
+        opt_state=shard_params_tp(state_b.opt_state, mesh),
+    )
+    sharded = shard_batch({k: np.asarray(v) for k, v in batch.items()}, mesh)
+    state_tp, mtp = train_step(state_b, sharded, key)
+
+    # The deterministic forward matches to ~6e-7 under this sharding (TP
+    # logic is exact); the train step adds reduction-order noise through
+    # the psum'd dec-head contractions, amplified (a) by the ×60
+    # squared-error loss and (b) by amsgrad's sign-normalized updates,
+    # which flip by ±lr on near-zero-gradient params. Hence: loss within
+    # 3e-3 relative, params within ~3·lr absolute (a wrong collective
+    # would be off by O(param) ≈ 1e-2..1, far beyond these bounds).
+    assert float(m1["loss"]) == pytest.approx(float(mtp["loss"]), rel=3e-3)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_1dev.params)),
+                    jax.tree.leaves(jax.device_get(state_tp.params))):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=3 * cfg.lr)
 
 
 def test_train_reg_only_freezes_trunk(smplx_small, dataset):
