@@ -243,15 +243,30 @@ class AirPoseTwoView(nn.Module):
         train: bool = False,
     ) -> FullCamOutput:
         B, V = images.shape[:2]
+        xf = self.trunk(
+            images.reshape((B * V,) + images.shape[2:]), train=train
+        ).reshape(B, V, -1)
+        return self.from_features(xf, bb, init_position, init_theta,
+                                  init_shape, iters, train)
+
+    def from_features(
+        self,
+        xf: jnp.ndarray,            # (B, 2, 2048) trunk features
+        bb: jnp.ndarray,
+        init_position: jnp.ndarray,
+        init_theta: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> FullCamOutput:
+        """IEF regression from precomputed trunk features — the injection
+        point for alternate trunk execution strategies (pallas fused bf16
+        layer1, int8 layers; ops/fused_bottleneck.py, ops/int8_trunk.py)."""
+        B, V = xf.shape[:2]
         mean_pose, mean_shape, _ = mean_init_state((B, V))
         theta = mean_pose if init_theta is None else init_theta
         pose = jnp.concatenate([init_position, theta], axis=-1)
         shape = mean_shape if init_shape is None else init_shape
-
-        xf = self.trunk(
-            images.reshape((B * V,) + images.shape[2:]), train=train
-        ).reshape(B, V, -1)
-
         for _ in range(iters or self.iters):
             pose, shape = self._reg(xf, bb, pose, shape, train)
         return FullCamOutput(pose=pose, betas=shape)

@@ -95,11 +95,12 @@ class ResNet50(nn.Module):
         x = nn.relu(x)
         return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
-    def _stages(self, x, train: bool, first_stage: int = 0):
+    def _stages(self, x, train: bool, first_stage: int = 0,
+                last_stage: int = 3):
         for stage, (planes, blocks) in enumerate(
             zip((64, 128, 256, 512), self.stage_sizes)
         ):
-            if stage < first_stage:
+            if stage < first_stage or stage > last_stage:
                 continue
             for block in range(blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
@@ -110,19 +111,25 @@ class ResNet50(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
+        if last_stage < 3:
+            return x  # spatial feature map for a spliced execution strategy
         # Global average pool; the feature feeds the f32 IEF regressor.
         return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
 
     @nn.compact
     def __call__(self, x, train: bool = False, part: str = "full"):
         """``part``: 'full' (default), 'stem' ((B,224,224,3) →
-        (B,56,56,64) conv1+bn+relu+maxpool), or 'tail' ((B,56,56,256)
-        layer1 output → (B,2048) layers 2-4 + GAP). The split points let
-        the inference path splice in the pallas fused layer1 stage."""
-        if part in ("full", "stem"):
+        (B,56,56,64) conv1+bn+relu+maxpool), 'front' ((B,224,224,3) →
+        (B,56,56,256) stem + layer1), or 'tail' ((B,56,56,256) layer1
+        output → (B,2048) layers 2-4 + GAP). The split points let the
+        inference path splice in pallas execution strategies (fused bf16
+        layer1, int8 layers 2-4) without duplicating parameters."""
+        if part in ("full", "stem", "front"):
             x = self._stem(x, train)
             if part == "stem":
                 return x
+            if part == "front":
+                return self._stages(x, train, last_stage=0)
             return self._stages(x, train)
         assert part == "tail", part
         return self._stages(x.astype(self.dtype), train, first_stage=1)

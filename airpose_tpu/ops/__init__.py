@@ -1,5 +1,7 @@
 from .int8_trunk import (calibrate_act_scales, quantize_trunk_params,
-                         resnet50_int8_infer)
+                         resnet50_int8_infer, twoview_int8_forward)
+from .int8_bottleneck import (int8_block, quantize_trunk_pallas,
+                              resnet50_int8_pallas_infer)
 from .fused_bottleneck import (
     fold_bn_into_conv,
     fuse_stage_params,
@@ -17,4 +19,8 @@ __all__ = [
     "quantize_trunk_params",
     "calibrate_act_scales",
     "resnet50_int8_infer",
+    "twoview_int8_forward",
+    "int8_block",
+    "quantize_trunk_pallas",
+    "resnet50_int8_pallas_infer",
 ]

@@ -228,6 +228,10 @@ def main(argv=None):
     parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
     parser.add_argument("--random-init", action="store_true",
                         help="serve random weights (protocol testing)")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve with the int8 PTQ trunk (1.38× on "
+                        "v5e; activation scales calibrate on the first "
+                        "frame batch — ops/int8_trunk.py)")
     parser.add_argument("--peer-timeout", type=float, default=10.0,
                         help="seconds to wait for a peer step message before "
                              "degrading to its last known state (flight "
@@ -258,7 +262,7 @@ def main(argv=None):
     elif not args.random_init:
         parser.error("provide --ckpt or --random-init")
 
-    reg = StagedRegressor(variables)
+    reg = StagedRegressor(variables, int8=args.int8)
     asyncio.run(
         run_server(reg, args.robot_id, args.port, args.peer_host,
                    args.peer_port, peer_timeout=args.peer_timeout)

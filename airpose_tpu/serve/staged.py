@@ -54,7 +54,7 @@ class StagedRegressor:
     checkpoint)."""
 
     def __init__(self, variables, iters: int = C.NUM_ITERS, dtype=jnp.float32,
-                 sep_view: int = None):
+                 sep_view: int = None, int8: bool = False):
         if sep_view is None:
             self.model = AirPoseTwoView(iters=iters, dtype=dtype)
         else:
@@ -67,6 +67,19 @@ class StagedRegressor:
         mean_pose, mean_shape, _ = mean_init_state((1,))
         self._mean_art = np.asarray(mean_pose)[:, 6:]
         self._mean_shape = np.asarray(mean_shape)
+
+        # int8 PTQ trunk (ops/int8_trunk.py, measured 1.38×): quantized up
+        # front, activation scales calibrated lazily on the FIRST real
+        # frame batch — serving calibrates on deployment data by design.
+        self.int8 = int8
+        self._act_scales = None
+        if int8:
+            from ..ops import quantize_trunk_params
+
+            self._qp = quantize_trunk_params(
+                variables,
+                trunk_key="trunk" if sep_view is None else f"trunk{sep_view}",
+            )
 
         model = self.model
 
@@ -83,15 +96,36 @@ class StagedRegressor:
                 method=type(model).regress_step,
             )
 
+        if int8:
+            from ..ops import resnet50_int8_infer
+
+            qp = self._qp
+
+            @jax.jit
+            def _features_int8(image, scales):
+                return resnet50_int8_infer(qp, image, act_scales=scales)
+
+            self._features_int8 = _features_int8
+
         self._features = _features
         self._reg = _reg
+
+    def _extract(self, image: jnp.ndarray) -> jnp.ndarray:
+        if not self.int8:
+            return self._features(self.variables, image)
+        if self._act_scales is None:
+            from ..ops import calibrate_act_scales
+
+            self._act_scales = calibrate_act_scales(
+                self._qp, image.astype(jnp.float32))
+        return self._features_int8(image, self._act_scales)
 
     def step1(self, image: np.ndarray, bb: np.ndarray,
               init_trans: np.ndarray) -> ViewState:
         """image (B,224,224,3) normalized f32, bb (B,3), init_trans (B,3)
         unscaled. Runs trunk + IEF iter 1 against mean peer state."""
         B = image.shape[0]
-        xf = self._features(self.variables, jnp.asarray(image))
+        xf = self._extract(jnp.asarray(image))
         mean_pose, mean_shape, _ = mean_init_state((B,))
         pose = jnp.concatenate(
             [jnp.asarray(init_trans) * C.TRANS_SCALE, mean_pose], axis=-1

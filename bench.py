@@ -2,8 +2,12 @@
 """Headline benchmark: two-view AirPose perception throughput on one chip.
 
 Measures the full per-frame perception step a consumer of the framework
-runs: two-view ResNet-50 + 3-step IEF regression (bf16 trunk) + 6D→rotmat +
-full SMPL-X mesh forward + 2D projection, at batch 64.
+runs in the recommended serving configuration: two-view ResNet-50 with the
+int8 PTQ trunk (per-channel weights + calibrated static activation scales,
+ops/int8_trunk.py — measured 1.38× the bf16 trunk at feature correlation
+0.9997 / IEF pose mean-abs-delta 1.7% of pose RMS, PERF.md) + 3-step IEF
+regression + 6D→rotmat + full SMPL-X mesh forward + 2D projection, at
+batch 64. Set AIRPOSE_BENCH_BF16=1 for the unquantized bf16 path.
 
 Prints ONE JSON line:
   {"metric": "two_view_fps", "value": N, "unit": "frames/s",
@@ -22,6 +26,7 @@ round-trip latency.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -32,6 +37,8 @@ from airpose_tpu import constants as C
 from airpose_tpu.bodymodel import smplx_forward, synthetic_smplx_params
 from airpose_tpu.geometry.rotations import rot6d_to_rotmat
 from airpose_tpu.models import AirPoseTwoView
+from airpose_tpu.ops import (calibrate_act_scales, quantize_trunk_params,
+                             twoview_int8_forward)
 from airpose_tpu.train.losses import cam_frame_and_project
 
 B = 64
@@ -41,6 +48,7 @@ N_ITERS = 200
 def main():
     model = AirPoseTwoView(dtype=jnp.bfloat16)
     smplx_params = synthetic_smplx_params()  # full-size 10475-vertex body
+    use_bf16 = bool(os.environ.get("AIRPOSE_BENCH_BF16"))
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, 2, 224, 224, 3)).astype(np.float32))
@@ -52,9 +60,19 @@ def main():
     )
 
     variables = model.init(jax.random.PRNGKey(0), x, bb, pos)
+    if not use_bf16:
+        qp = quantize_trunk_params(variables)
+        # one-shot PTQ calibration pass (tiny batch: the scales are
+        # per-tensor maxima; deployments calibrate on real data)
+        scales = calibrate_act_scales(qp, x[:1].reshape(2, 224, 224, 3))
+
+    def forward(v, images):
+        if use_bf16:
+            return model.apply(v, images, bb, pos)
+        return twoview_int8_forward(model, v, qp, scales, images, bb, pos)
 
     def perceive(v, images):
-        out = model.apply(v, images, bb, pos)
+        out = forward(v, images)
         trans = out.pose[..., :3] / C.TRANS_SCALE
         rotmat = rot6d_to_rotmat(out.pose[..., 3:].reshape(B, 2, 22, 6))
         eye = jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3))

@@ -25,6 +25,54 @@ def test_quantize_weight_roundtrip(rng):
     assert (np.abs(back - k) <= step / 2 + 1e-7).all()
 
 
+def test_twoview_int8_forward_close_to_bf16(rng):
+    """The full int8 serving forward (int8 trunk features → from_features
+    IEF) tracks the bf16 model output within the PTQ bounds measured on
+    hardware (pose MAD ≈ 1.7% of pose RMS at feature corr 0.9997; random
+    weights here are the worst case, so the gate is looser)."""
+    from airpose_tpu.models import AirPoseTwoView
+    from airpose_tpu.ops import twoview_int8_forward
+
+    model = AirPoseTwoView(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32))
+    bb = jnp.zeros((2, 2, 3))
+    pos = jnp.full((2, 2, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(0), x, bb, pos)
+    qp = quantize_trunk_params(variables)
+    scales = calibrate_act_scales(qp, x.reshape(4, 64, 64, 3))
+
+    want = model.apply(variables, x, bb, pos)
+    got = twoview_int8_forward(model, variables, qp, scales, x, bb, pos)
+    dpose = np.abs(np.asarray(got.pose) - np.asarray(want.pose))
+    rms = np.asarray(want.pose).std()
+    assert dpose.mean() < 0.15 * rms, (dpose.mean(), rms)
+    assert np.isfinite(np.asarray(got.betas)).all()
+
+
+def test_mixed_stage_trunk(rng):
+    """int8_stages=() runs every stage as folded-BN bf16 convs — must
+    match the flax trunk in eval mode to bf16 tolerance; partial subsets
+    must sit between that and the all-int8 PTQ error."""
+    model = ResNet50(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.3)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    qp = quantize_trunk_params(variables)
+    scales = calibrate_act_scales(qp, x)
+
+    want = np.asarray(model.apply(variables, x, train=False))
+    folded = np.asarray(
+        resnet50_int8_infer(qp, x, act_scales=scales, int8_stages=()))
+    rel = np.linalg.norm(folded - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel  # bf16 rounding + BN-folding only
+
+    late = np.asarray(
+        resnet50_int8_infer(qp, x, act_scales=scales, int8_stages=(3, 4)))
+    rel_late = np.linalg.norm(late - want) / np.linalg.norm(want)
+    full = np.asarray(resnet50_int8_infer(qp, x, act_scales=scales))
+    rel_full = np.linalg.norm(full - want) / np.linalg.norm(want)
+    assert rel_late < max(rel_full, 0.2) + 0.05, (rel_late, rel_full)
+
+
 def test_int8_trunk_matches_bf16_within_ptq_bounds(rng):
     model = ResNet50(dtype=jnp.bfloat16)
     x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.3)

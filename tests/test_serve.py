@@ -83,6 +83,31 @@ def test_staged_protocol_matches_fused(served_model, rng):
     )
 
 
+def test_staged_int8_close_to_bf16(served_model, rng):
+    """`StagedRegressor(int8=True)` (the --int8 serving flag): lazy
+    first-frame calibration, then int8 trunk features — step1 output must
+    track the f32 path within the PTQ bound (ops/int8_trunk.py; random
+    weights are the worst case)."""
+    _, variables = served_model
+    B = 2
+    x = np.asarray(rng.normal(size=(B, 224, 224, 3)), np.float32) * 0.1
+    bb = np.zeros((B, 3), np.float32)
+    pos = np.full((B, 3), 10.0, np.float32)
+
+    base = StagedRegressor(variables)
+    q = StagedRegressor(variables, int8=True)
+    assert q._act_scales is None
+    s_base = base.step1(x, bb, pos)
+    s_q = q.step1(x, bb, pos)
+    assert q._act_scales is not None  # calibrated on the first batch
+    rms = s_base.pose.std()
+    assert np.abs(s_q.pose - s_base.pose).mean() < 0.2 * rms
+    # second call reuses the calibration (jit cache hit, no recalibration)
+    scales = q._act_scales
+    q.step1(x, bb, pos)
+    assert q._act_scales is scales
+
+
 def _client_request(port, frame_id, img, bb, init_trans):
     sock = socket.create_connection(("127.0.0.1", port), timeout=30)
     sock.sendall(P.encode_image(0, frame_id, bb, init_trans, img))
