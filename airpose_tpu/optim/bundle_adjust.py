@@ -272,6 +272,175 @@ def export_results(
 
 
 # ---------------------------------------------------------------------------
+# Frame-sharded whole-sequence optimization (multi-chip)
+# ---------------------------------------------------------------------------
+
+def bundle_adjust_sharded(
+    smplx_params: SMPLXParams,
+    vposer_params: VPoserParams,
+    init: BAState,
+    openpose: jnp.ndarray,   # (N, 2, 24, 3)
+    alphapose: jnp.ndarray,  # (N, 2, 24, 3)
+    intr: jnp.ndarray,       # (2, 3, 3)
+    cfg: BAConfig = BAConfig(),
+    mesh=None,
+) -> Tuple[BAState, Dict[str, np.ndarray]]:
+    """`bundle_adjust` over a device mesh: the frame axis shards over
+    "data", so the WHOLE capture optimizes jointly in one jitted two-stage
+    scan — no 2000-frame chunk boundaries in the temporal coupling (the
+    TPU mapping SURVEY.md §5 prescribes for the reference's only long
+    axis, ref bundle_adj.py:216-228).
+
+    Mapping: per-frame variables (z, φ, τ) and keypoints shard over the
+    mesh; β stays replicated with its gradient psum'd over ICI. The
+    temporal smoothness pairs that straddle a shard boundary read the
+    right neighbor's first frame via `lax.ppermute` — the halo exchange
+    is inside the differentiated loss, so AD's transposed ppermute
+    returns the boundary cotangent to the neighbor shard automatically.
+    Numerically ≡ the single-device path up to reduction order
+    (tests/test_bundle_adjust.py)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    axis = mesh.axis_names[0]
+
+    N = int(init.z.shape[0])
+    pad = (-N) % n_dev
+
+    def halve_hips(kp):
+        return kp.at[:, :, (1, 2), 2].mul(0.5)
+
+    kp = jnp.stack([halve_hips(openpose), halve_hips(alphapose)], axis=1)
+    robust_f = (alphapose[..., 2].sum(axis=(1, 2))
+                > cfg.robust_conf_threshold).astype(jnp.float32)
+
+    if pad:
+        # padded frames: zero confidence, non-robust, and a SAFE pose
+        # (identity 6D root, τ_z=10) so the projection divide stays finite
+        kp = jnp.pad(kp, ((0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+        robust_f = jnp.pad(robust_f, (0, pad))
+        # identity in the reference's (3,2)-reshape 6D convention, i.e.
+        # rows interleave the two columns: (1,0, 0,1, 0,0). A zero SECOND
+        # column (e.g. the row-major guess (1,0,0,0,1,0)) NaNs the
+        # Gram–Schmidt normalize's gradient.
+        eye6 = jnp.tile(jnp.asarray([1., 0., 0., 1., 0., 0.]), (pad, 2, 1))
+        init = BAState(
+            z=jnp.pad(init.z, ((0, pad), (0, 0))),
+            phi=jnp.concatenate([init.phi, eye6]),
+            tau=jnp.concatenate(
+                [init.tau,
+                 jnp.tile(jnp.asarray([0., 0., 10.]), (pad, 2, 1))]),
+            beta=init.beta,
+        )
+    # global pair weights: pair i couples frames (i, i+1); the last pair
+    # (the ppermute wrap-around from the last shard to shard 0) is dead
+    pairw = jnp.pad(robust_f[:-1] * robust_f[1:], (0, 1))
+    J = cfg.num_joints_2d
+    denom_2d = float(jnp.maximum(robust_f.sum() * J, 1.0))
+    denom_pairs = float(jnp.maximum(pairw.sum(), 1.0))
+    perm = [(d, (d - 1) % n_dev) for d in range(n_dev)]
+
+    def shard_loss(state: BAState, kp_l, robust_l, pairw_l):
+        """Per-shard loss whose psum over the mesh is the global loss
+        (β/z regularizers contribute 1/n_dev per shard)."""
+        L = state.z.shape[0]
+        theta_aa = vposer_decode(vposer_params, state.z)[
+            "pose_body"].reshape(L, 63)
+        body_rm = batch_rodrigues(theta_aa.reshape(L, 21, 3))
+        joints = joints_only_forward(
+            smplx_params, jnp.broadcast_to(state.beta, (L, 10)), body_rm
+        )[:, :J]
+        R = rot6d_to_rotmat(state.phi)
+        cam_j = (jnp.einsum("nvij,nkj->nvki", R, joints,
+                            precision="highest")
+                 + state.tau[:, :, None, :])
+        j2d = _project(cam_j, intr[None])
+        resid = j2d[:, None] - kp_l[..., :2]
+        rho = geman_mcclure(resid, cfg.sigma).sum(-1) / 2.0
+        w2d = kp_l[..., 2] * robust_l[:, None, None, None]
+        loss_2d = (w2d * rho).sum() / denom_2d
+
+        # padded z rows stay 0, so the sum is over true frames; the mean's
+        # denominator must be the TRUE frame count to match `bundle_adjust`
+        loss_vposer = (state.z ** 2).sum() / (N * 32)
+        loss_beta = (state.beta ** 2).mean() / n_dev
+
+        def tdiff(a):
+            halo = jax.lax.ppermute(a[:1], axis, perm)
+            ext = jnp.concatenate([a, halo])
+            d = (ext[1:] - ext[:-1]) ** 2
+            d = d.reshape(L, -1).mean(-1)
+            return (d * pairw_l).sum() / denom_pairs
+
+        loss_temporal = (
+            cfg.w_temporal_theta * tdiff(theta_aa)
+            + cfg.w_temporal_rigid * (
+                tdiff(state.phi[:, 0]) + tdiff(state.phi[:, 1])
+                + tdiff(state.tau[:, 0]) + tdiff(state.tau[:, 1])
+            )
+        )
+        total = (loss_2d + cfg.w_beta * loss_beta
+                 + cfg.w_vposer * loss_vposer
+                 + cfg.w_temporal * loss_temporal)
+        return total
+
+    tx = optax.adam(cfg.lr)
+    state_specs = BAState(z=P(axis), phi=P(axis), tau=P(axis), beta=P())
+    data_specs = (P(axis), P(axis), P(axis))
+
+    def make_stage(freeze_z: bool, n_iters: int):
+        @partial(
+            shard_map, mesh=mesh,
+            in_specs=(state_specs,) + data_specs,
+            out_specs=(state_specs, P()),
+            check_rep=False,
+        )
+        def stage(state, kp_l, robust_l, pairw_l):
+            grad_fn = jax.grad(shard_loss)
+            opt_state = tx.init(state)
+
+            def step(carry, _):
+                st, opt = carry
+                g = grad_fn(st, kp_l, robust_l, pairw_l)
+                # β is replicated: its update must see the GLOBAL grad
+                g = g._replace(
+                    beta=jax.lax.psum(g.beta, axis),
+                    z=jnp.zeros_like(g.z) if freeze_z else g.z,
+                )
+                updates, opt = tx.update(g, opt, st)
+                st = jax.tree.map(lambda p, u: p + u, st, updates)
+                loss = jax.lax.psum(
+                    shard_loss(st, kp_l, robust_l, pairw_l), axis)
+                return (st, opt), loss
+
+            (st, _), trace = jax.lax.scan(
+                step, (state, opt_state), None, length=n_iters)
+            return st, trace
+
+        return jax.jit(stage)
+
+    stage1 = make_stage(True, cfg.iters_stage1)
+    stage2 = make_stage(False, cfg.iters_stage2)
+
+    state, trace1 = stage1(init, kp, robust_f, pairw)
+    state, trace2 = stage2(state, kp, robust_f, pairw)
+    final_loss = float(np.asarray(trace2)[-1])
+    state = BAState(z=state.z[:N], phi=state.phi[:N], tau=state.tau[:N],
+                    beta=state.beta)
+    return state, {
+        "trace": np.concatenate([np.asarray(trace1), np.asarray(trace2)]),
+        "loss": final_loss,
+    }
+
+
+# ---------------------------------------------------------------------------
 # Sequence driver (the runnable script the reference's bundle_adj.py is)
 # ---------------------------------------------------------------------------
 
@@ -283,10 +452,15 @@ def run_sequence(
     cfg: BAConfig = BAConfig(),
     chunk_size: int = 2000,
     save_verts: bool = False,
+    sharded: bool = False,
 ):
     """Chunked per-sequence optimization (ref bundle_adj.py:216-222: chunks
     of 2000 frames, the temporal term coupling only within a chunk) over a
-    full capture. Returns a result dict in the AirPose+ export layout."""
+    full capture. Returns a result dict in the AirPose+ export layout.
+
+    ``sharded`` optimizes the WHOLE sequence jointly instead, frame-sharded
+    over the device mesh (`bundle_adjust_sharded`): no chunk boundaries in
+    the temporal coupling, one shared β for the capture."""
     from ..eval.compile_results import outputs_to_ba_init
 
     init = outputs_to_ba_init(airpose_outputs, vposer_params)
@@ -309,13 +483,16 @@ def run_sequence(
     cam1_wrt_cam0 = np.zeros((n_frames, 4, 4), np.float32)
     pose_body = np.zeros((n_frames, 21, 3), np.float32)
 
-    for begin in range(0, n_frames, chunk_size):
-        end = min(begin + chunk_size, n_frames)
+    spans = ([(0, n_frames)] if sharded
+             else [(b, min(b + chunk_size, n_frames))
+                   for b in range(0, n_frames, chunk_size)])
+    for begin, end in spans:
         chunk_init = BAState(
             z=init.z[begin:end], phi=init.phi[begin:end],
             tau=init.tau[begin:end], beta=init.beta,
         )
-        state, metrics = bundle_adjust(
+        optimize = bundle_adjust_sharded if sharded else bundle_adjust
+        state, metrics = optimize(
             smplx_params, vposer_params, chunk_init,
             openpose[begin:end], alphapose[begin:end], intr, cfg,
         )
@@ -330,8 +507,10 @@ def run_sequence(
         if save_verts:
             verts0.append(exp["verts0"])
             verts1.append(exp["verts1"])
-        print(f"chunk [{begin}:{end}) final loss {metrics['loss']:.4f} "
-              f"(2d {metrics['loss_2d']:.4f})", flush=True)
+        detail = (f" (2d {metrics['loss_2d']:.4f})"
+                  if "loss_2d" in metrics else "")
+        print(f"chunk [{begin}:{end}) final loss {metrics['loss']:.4f}"
+              + detail, flush=True)
 
     result = {
         "z": z, "phi": phi, "tau": tau,
@@ -371,6 +550,10 @@ def main(argv=None):
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--synthetic_verts", type=int, default=10475)
     p.add_argument("--chunk-size", type=int, default=2000)
+    p.add_argument("--sharded", action="store_true",
+                   help="optimize the whole sequence jointly, frame-"
+                        "sharded over the device mesh (no chunk "
+                        "boundaries in the temporal term)")
     p.add_argument("--iters1", type=int, default=100)
     p.add_argument("--iters2", type=int, default=200)
     p.add_argument("--kp_threshold", type=float, default=50.0,
@@ -427,6 +610,7 @@ def main(argv=None):
     result = run_sequence(
         smplx_params, vposer_params, ds, outputs, cfg,
         chunk_size=args.chunk_size, save_verts=args.save_verts,
+        sharded=args.sharded,
     )
 
     os.makedirs(args.out, exist_ok=True)

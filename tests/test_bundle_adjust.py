@@ -103,6 +103,46 @@ def test_bundle_adjust_reduces_reprojection_error(models, rng):
     )
 
 
+def test_sharded_matches_single_device(models, rng):
+    """Frame-sharded whole-sequence BA over the 8-virtual-device mesh ≡
+    the single-device path (same loss trace, same optimum) — including
+    batch padding (12 frames over 8 devices) and non-robust frames whose
+    temporal pairs must drop on BOTH paths."""
+    from airpose_tpu.optim import bundle_adjust_sharded
+    from airpose_tpu.parallel import make_mesh
+
+    smplx_params, vposer_params = models
+    z_true, phi_rm, tau, intr, kp = _make_problem(models, rng)
+    N = kp.shape[0]
+    # two non-robust frames (AlphaPose conf sum below the gate) — one at a
+    # future shard boundary
+    kp = kp.at[3, :, :, 2].mul(0.2).at[8, :, :, 2].mul(0.2)
+
+    init = BAState(
+        z=z_true + 0.3 * jnp.asarray(
+            rng.normal(size=z_true.shape).astype(np.float32)),
+        phi=rotmat_to_rot6d(phi_rm) + 0.05 * jnp.asarray(
+            rng.normal(size=(N, 2, 6)).astype(np.float32)),
+        tau=tau + 0.2 * jnp.asarray(
+            rng.normal(size=tau.shape).astype(np.float32)),
+        beta=jnp.zeros(10),
+    )
+    cfg = BAConfig(iters_stage1=5, iters_stage2=10, w_beta=1.0)
+    want_state, want = bundle_adjust(
+        smplx_params, vposer_params, init, kp, kp, intr, cfg)
+    got_state, got = bundle_adjust_sharded(
+        smplx_params, vposer_params, init, kp, kp, intr, cfg,
+        mesh=make_mesh(8))
+
+    np.testing.assert_allclose(got["trace"], want["trace"],
+                               rtol=2e-4, atol=1e-5)
+    for name in ("z", "phi", "tau", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_state, name)),
+            np.asarray(getattr(want_state, name)),
+            rtol=1e-3, atol=2e-4, err_msg=name)
+
+
 def test_sequence_cli_end_to_end(tmp_path):
     """The AirPose+ sequence driver: real compile → outputs pkl →
     bundle_adjust CLI over chunks → result pkl + trajectory plot (the
@@ -143,6 +183,20 @@ def test_sequence_cli_end_to_end(tmp_path):
     assert result["z"].shape == (6, 32)
     assert result["beta_per_chunk"].shape == (2, 10)  # two chunks of 3
     assert result["cam1_wrt_cam0"].shape == (6, 4, 4)
+
+    # --sharded: the whole sequence jointly over the 8-virtual-device mesh
+    out_dir2 = str(tmp_path / "ba_sharded")
+    ba_main([
+        "--datapath", f"real://{ds}", "--airpose-pkl", airpose_pkl,
+        "--split", "test", "--test_frames", "0", "6",
+        "--out", out_dir2, "--sharded",
+        "--iters1", "3", "--iters2", "5", "--synthetic_verts", "80",
+    ])
+    with open(os.path.join(out_dir2, "airpose_plus_test.pkl"), "rb") as f:
+        result = pickle.load(f)
+    assert result["z"].shape == (6, 32)
+    assert result["beta_per_chunk"].shape == (1, 10)  # one joint solve
+    assert np.isfinite(result["trace"]).all()
     assert np.isfinite(result["trace"]).all()
     assert os.path.exists(os.path.join(out_dir, "cam_trajectory_test.png"))
 
