@@ -111,8 +111,15 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
 # ---------------------------------------------------------------------------
 
 def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
-                    save_full=False):
-    """Eval every batch, return (outputs list, metrics dict)."""
+                    save_full=False, int8=False):
+    """Eval every batch, return (outputs list, metrics dict).
+
+    ``int8`` evaluates the int8 PTQ serving configuration instead of the
+    bf16 trunk (ops/int8_trunk.py) — THE tool for measuring what
+    quantized deployment costs in MPJPE/PA-MPJPE on a given dataset.
+    Calibration uses the first eval batch's images."""
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
@@ -120,6 +127,18 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     from ..geometry.rotations import rotmat_to_aa
     from ..train.loop import make_twoview_step_fns
     from ..train.state import make_optimizer
+
+    if int8:
+        from ..ops import Int8TwoView
+
+        batches = iter(batches)
+        first = next(batches)
+        batches = itertools.chain([first], batches)
+        imgs = jnp.asarray(first["images"])
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:8]
+        model = Int8TwoView(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats}, imgs)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
@@ -448,6 +467,10 @@ def main(argv=None):
     p.add_argument("--synthetic_verts", type=int, default=10475,
                    help="synthetic body-model size when no --smplx_model_dir")
     p.add_argument("--save-full", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate the int8 PTQ serving configuration "
+                        "(twoview synthetic/on-disk paths): measures the "
+                        "quantization cost in MPJPE/PA-MPJPE/MPE")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--vposer_ckpt", default=None,
@@ -610,7 +633,7 @@ def main(argv=None):
             if args.model in ("copenet_twoview", "copenet_twoview_sep"):
                 outputs, metrics = compile_twoview(
                     state, model, smplx_params, splits[split], cfg,
-                    save_full=args.save_full,
+                    save_full=args.save_full, int8=args.int8,
                 )
             else:
                 outputs, metrics = compile_singleview(

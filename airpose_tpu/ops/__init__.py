@@ -1,5 +1,6 @@
 from .int8_trunk import (calibrate_act_scales, quantize_trunk_params,
-                         resnet50_int8_infer, twoview_int8_forward)
+                         resnet50_int8_infer, twoview_int8_forward,
+                         Int8TwoView)
 from .int8_bottleneck import (int8_block, quantize_trunk_pallas,
                               resnet50_int8_pallas_infer)
 from .fused_bottleneck import (
@@ -20,6 +21,7 @@ __all__ = [
     "calibrate_act_scales",
     "resnet50_int8_infer",
     "twoview_int8_forward",
+    "Int8TwoView",
     "int8_block",
     "quantize_trunk_pallas",
     "resnet50_int8_pallas_infer",

@@ -234,6 +234,29 @@ def twoview_int8_forward(model, variables, qparams: Dict, act_scales: Dict,
                        method=type(model).from_features, **kwargs)
 
 
+class Int8TwoView:
+    """Model-like shim whose ``apply`` routes the eval-mode two-view
+    forward through the int8 trunk — a drop-in for the `model` argument
+    of `train/loop.make_twoview_step_fns` on INFERENCE paths (the eval
+    CLI's --int8 accuracy measurement). Quantize + calibrate up front
+    (outside jit: the step fns trace `apply`)."""
+
+    def __init__(self, model, variables, sample_images: jnp.ndarray,
+                 int8_stages=(1, 2, 3, 4)):
+        self.model = model
+        self.int8_stages = tuple(int8_stages)
+        self.qparams = quantize_trunk_params(variables)
+        self.act_scales = calibrate_act_scales(self.qparams, sample_images)
+
+    def apply(self, variables, images, bb, trans, iters=None,
+              train=False, **kwargs):
+        if train or kwargs.get("mutable"):
+            raise ValueError("the int8 trunk is inference-only")
+        return twoview_int8_forward(
+            self.model, variables, self.qparams, self.act_scales,
+            images, bb, trans, int8_stages=self.int8_stages, iters=iters)
+
+
 def calibrate_act_scales(qparams: Dict, sample_x: jnp.ndarray) -> Dict:
     """One forward over a representative batch with dynamic quantization,
     recording every conv input's per-tensor scale. The returned table makes

@@ -45,6 +45,37 @@ def test_compile_results_ondisk(tmp_path, capsys):
     assert np.isfinite(out["pred_smpltrans0"]).all()
 
 
+def test_compile_results_int8(tmp_path, capsys):
+    """--int8 evaluates the quantized serving configuration on the same
+    metrics — the MPJPE numbers must stay in the same regime as bf16
+    (random weights: loose gate; the tool's job is to REPORT the delta)."""
+    import json
+
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=3)
+
+    metrics = {}
+    for tag, extra in (("bf16", []), ("int8", ["--int8"])):
+        out_pkl = str(tmp_path / f"results_{tag}.pkl")
+        main([
+            "--model", "copenet_twoview", "--datapath", str(data_dir),
+            "--split", "test", "--out", out_pkl,
+            "--batch_size", "3", "--img_res", "64",
+            "--synthetic_verts", "99", *extra,
+        ])
+        capsys.readouterr()
+        with open(out_pkl + ".metrics.json") as f:
+            metrics[tag] = json.load(f)
+    b = metrics["bf16"]["test"]["mpjpe0"]
+    q = metrics["int8"]["test"]["mpjpe0"]
+    assert np.isfinite(q) and q < 3 * b + 0.1, (b, q)
+
+
 def test_compile_results_ondisk_singleview(tmp_path):
     from airpose_tpu.bodymodel import synthetic_smplx_params
     from airpose_tpu.eval.compile_results import main
