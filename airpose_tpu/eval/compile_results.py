@@ -318,17 +318,33 @@ def robust_crossview_consistency(
 def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
                          batch_size: int, cfg, save_full=False,
                          err_idcs: Optional[np.ndarray] = None,
-                         out_size: int = 224):
+                         out_size: int = 224, int8=False):
     """Real-data (self-supervised regime) compile: outputs pkl with the raw
     135-d pose state per view (the benchtest interchange,
     ref copenet_real_res_compile.py:264-276) + the robust cross-view
-    consistency metric. No 3D GT exists on this path."""
+    consistency metric. No 3D GT exists on this path. ``int8`` evaluates
+    the quantized serving configuration (see compile_twoview)."""
+    import itertools
+
     import jax
     import jax.numpy as jnp
 
     from ..geometry.rotations import rotmat_to_aa
     from ..train.loop import make_real_twoview_step_fns
     from ..train.state import make_optimizer
+
+    batches = real_batches(ds, batch_size, out_size=out_size)
+    if int8:
+        from ..ops import Int8TwoView
+
+        batches = iter(batches)
+        first = next(batches)
+        batches = itertools.chain([first], batches)
+        imgs = jnp.asarray(first["images"])
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:8]
+        model = Int8TwoView(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats}, imgs)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_twoview_step_fns(
@@ -340,7 +356,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     all_rotmat, all_betas, all_trans, all_extr = [], [], [], []
     from ..geometry.rotations import rot6d_to_rotmat
 
-    for batch in real_batches(ds, batch_size, out_size=out_size):
+    for batch in batches:
         B = int(batch["images"].shape[0])
         metrics, out = eval_step(state, batch)
         losses.append(float(metrics["loss"]))
@@ -469,8 +485,9 @@ def main(argv=None):
     p.add_argument("--save-full", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="evaluate the int8 PTQ serving configuration "
-                        "(twoview synthetic/on-disk paths): measures the "
-                        "quantization cost in MPJPE/PA-MPJPE/MPE")
+                        "(two-view families, synthetic/on-disk/real "
+                        "paths): measures the quantization cost on the "
+                        "same metrics")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--vposer_ckpt", default=None,
@@ -570,6 +587,9 @@ def main(argv=None):
                                       first_cam=first_cam)
 
         if args.model == "hmr":
+            if args.int8:
+                p.error("--int8 supports the two-view families only "
+                        "(copenet_twoview / copenet_twoview_sep)")
             # Baseline on real data: one outputs pkl PER CAMERA, suffixes
             # "0"/"1" (ref hmr_real_res_compile.py / bundle_adj.py:152-154
             # loading fname+"0", fname+"1")
@@ -601,7 +621,7 @@ def main(argv=None):
             outputs, metrics = compile_real_twoview(
                 state, model, smplx_params, vposer_params, ds, B, cfg,
                 save_full=args.save_full, err_idcs=err,
-                out_size=args.img_res,
+                out_size=args.img_res, int8=args.int8,
             )
             per_split.append(outputs)
             metrics_by_split[split] = metrics
@@ -636,6 +656,10 @@ def main(argv=None):
                     save_full=args.save_full, int8=args.int8,
                 )
             else:
+                if args.int8:
+                    p.error("--int8 supports the two-view families only "
+                            "(copenet_twoview / copenet_twoview_sep, "
+                            "synthetic/on-disk/real)")
                 outputs, metrics = compile_singleview(
                     state, model, smplx_params, splits[split], cfg, args.model
                 )

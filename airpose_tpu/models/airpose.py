@@ -328,11 +328,6 @@ class AirPoseTwoViewSep(nn.Module):
     ) -> FullCamOutput:
         B, V = images.shape[:2]
         assert V == 2
-        mean_pose, mean_shape, _ = mean_init_state((B, V))
-        theta = mean_pose if init_theta is None else init_theta
-        pose = jnp.concatenate([init_position, theta], axis=-1)
-        shape = mean_shape if init_shape is None else init_shape
-
         xf = jnp.stack(
             [
                 self.trunk0(images[:, 0], train=train),
@@ -340,6 +335,27 @@ class AirPoseTwoViewSep(nn.Module):
             ],
             axis=1,
         )
+        return self.from_features(xf, bb, init_position, init_theta,
+                                  init_shape, iters, train)
+
+    def from_features(
+        self,
+        xf: jnp.ndarray,            # (B, 2, 2048) per-drone trunk features
+        bb: jnp.ndarray,
+        init_position: jnp.ndarray,
+        init_theta: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> FullCamOutput:
+        """IEF regression from precomputed per-view trunk features — the
+        injection point for alternate trunk execution strategies (mirrors
+        AirPoseTwoView.from_features; each view runs its own core)."""
+        B, V = xf.shape[:2]
+        mean_pose, mean_shape, _ = mean_init_state((B, V))
+        theta = mean_pose if init_theta is None else init_theta
+        pose = jnp.concatenate([init_position, theta], axis=-1)
+        shape = mean_shape if init_shape is None else init_shape
 
         for _ in range(iters or self.iters):
             trans, orient, art = pose[..., :3], pose[..., 3:9], pose[..., 9:]

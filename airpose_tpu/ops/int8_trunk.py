@@ -239,22 +239,39 @@ class Int8TwoView:
     forward through the int8 trunk — a drop-in for the `model` argument
     of `train/loop.make_twoview_step_fns` on INFERENCE paths (the eval
     CLI's --int8 accuracy measurement). Quantize + calibrate up front
-    (outside jit: the step fns trace `apply`)."""
+    (outside jit: the step fns trace `apply`). Handles both the shared
+    AirPoseTwoView trunk and the per-drone trunk0/trunk1 of the _sep
+    family (each drone's trunk is quantized and calibrated separately)."""
 
     def __init__(self, model, variables, sample_images: jnp.ndarray,
                  int8_stages=(1, 2, 3, 4)):
         self.model = model
         self.int8_stages = tuple(int8_stages)
-        self.qparams = quantize_trunk_params(variables)
-        self.act_scales = calibrate_act_scales(self.qparams, sample_images)
+        self.sep = "trunk0" in variables["params"]
+        keys = ("trunk0", "trunk1") if self.sep else ("trunk",)
+        self.qparams = [quantize_trunk_params(variables, k) for k in keys]
+        self.act_scales = [calibrate_act_scales(qp, sample_images)
+                           for qp in self.qparams]
 
     def apply(self, variables, images, bb, trans, iters=None,
               train=False, **kwargs):
-        if train or kwargs.get("mutable"):
+        if train or kwargs.pop("mutable", None):
             raise ValueError("the int8 trunk is inference-only")
-        return twoview_int8_forward(
-            self.model, variables, self.qparams, self.act_scales,
-            images, bb, trans, int8_stages=self.int8_stages, iters=iters)
+        if not self.sep:
+            return twoview_int8_forward(
+                self.model, variables, self.qparams[0], self.act_scales[0],
+                images, bb, trans, int8_stages=self.int8_stages,
+                iters=iters, **kwargs)
+        xf = jnp.stack(
+            [resnet50_int8_infer(self.qparams[v], images[:, v],
+                                 act_scales=self.act_scales[v],
+                                 int8_stages=self.int8_stages)
+             for v in (0, 1)],
+            axis=1,
+        )
+        return self.model.apply(
+            variables, xf, bb, trans,
+            method=type(self.model).from_features, iters=iters, **kwargs)
 
 
 def calibrate_act_scales(qparams: Dict, sample_x: jnp.ndarray) -> Dict:

@@ -109,6 +109,46 @@ def _project(joints_cam: jnp.ndarray, intr: jnp.ndarray) -> jnp.ndarray:
     return xy * f[..., None, :] + c[..., None, :]
 
 
+def _reprojection_terms(smplx_params, vposer_params, cfg: BAConfig,
+                        state: BAState, keypoints, intr, robust_f,
+                        denom_2d):
+    """Per-frame data terms shared by the single-device and frame-sharded
+    losses: VPoser decode → kinematic joints → both views' GM reprojection,
+    as a local SUM over frames divided by the caller's (global)
+    denominator. Returns (loss_2d, theta_aa)."""
+    L = state.z.shape[0]
+    J = cfg.num_joints_2d
+    theta_aa = vposer_decode(vposer_params, state.z)["pose_body"].reshape(L, 63)
+    body_rm = batch_rodrigues(theta_aa.reshape(L, 21, 3))
+    joints = joints_only_forward(
+        smplx_params, jnp.broadcast_to(state.beta, (L, 10)), body_rm
+    )[:, :J]
+
+    R = rot6d_to_rotmat(state.phi)  # (L, 2, 3, 3)
+    cam_j = (
+        jnp.einsum("nvij,nkj->nvki", R, joints, precision="highest")
+        + state.tau[:, :, None, :]
+    )
+    j2d = _project(cam_j, intr[None])  # (L, 2, J, 2)
+
+    # Both keypoint sets (OpenPose, AlphaPose), both views.
+    resid = j2d[:, None] - keypoints[..., :2]          # (L, 2set, 2view, J, 2)
+    rho = geman_mcclure(resid, cfg.sigma).sum(-1) / 2.0
+    # gmcclure in the ref is applied elementwise to u,v then conf-
+    # weighted and meaned; .sum(-1)/2 keeps the same mean.
+    w2d = keypoints[..., 2] * robust_f[:, None, None, None]
+    return (w2d * rho).sum() / denom_2d, theta_aa
+
+
+def _weighted_tdiff(ext, pairw, denom):
+    """Pair-weighted mean-square temporal difference over consecutive rows
+    of ``ext`` (len = n_pairs + 1; the sharded path appends the ppermute
+    halo row)."""
+    d = (ext[1:] - ext[:-1]) ** 2
+    d = d.reshape(d.shape[0], -1).mean(-1)
+    return (d * pairw).sum() / denom
+
+
 def make_loss_fn(
     smplx_params: SMPLXParams,
     vposer_params: VPoserParams,
@@ -119,40 +159,19 @@ def make_loss_fn(
 ):
     robust_f = robust.astype(jnp.float32)
     robust_pair = robust_f[:-1] * robust_f[1:]
-    J = cfg.num_joints_2d
+    denom_2d = jnp.maximum(robust_f.sum() * cfg.num_joints_2d, 1.0)
+    denom_pairs = jnp.maximum(robust_pair.sum(), 1.0)
 
     def loss_fn(state: BAState):
-        N = state.z.shape[0]
-        theta_aa = vposer_decode(vposer_params, state.z)["pose_body"].reshape(N, 63)
-        body_rm = batch_rodrigues(theta_aa.reshape(N, 21, 3))
-        joints = joints_only_forward(
-            smplx_params, jnp.broadcast_to(state.beta, (N, 10)), body_rm
-        )[:, :J]
-
-        R = rot6d_to_rotmat(state.phi)  # (N, 2, 3, 3)
-        cam_j = (
-            jnp.einsum("nvij,nkj->nvki", R, joints, precision="highest")
-            + state.tau[:, :, None, :]
-        )
-        j2d = _project(cam_j, intr[None])  # (N, 2, J, 2)
-
-        # Both keypoint sets (OpenPose, AlphaPose), both views.
-        resid = j2d[:, None] - keypoints[..., :2]          # (N, 2set, 2view, J, 2)
-        rho = geman_mcclure(resid, cfg.sigma).sum(-1) / 2.0
-        # gmcclure in the ref is applied elementwise to u,v then conf-
-        # weighted and meaned; .sum(-1)/2 keeps the same mean.
-        w2d = keypoints[..., 2] * robust_f[:, None, None, None]
-        denom = jnp.maximum(robust_f.sum() * J, 1.0)
-        loss_2d = (w2d * rho).sum(axis=(0, 3)) / denom     # (2 sets, 2 views)
-        loss_2d = loss_2d.sum()
+        loss_2d, theta_aa = _reprojection_terms(
+            smplx_params, vposer_params, cfg, state, keypoints, intr,
+            robust_f, denom_2d)
 
         loss_vposer = (state.z ** 2).mean()
         loss_beta = (state.beta ** 2).mean()
 
         def tdiff(a):
-            d = (a[1:] - a[:-1]) ** 2
-            d = d.reshape(d.shape[0], -1).mean(-1)
-            return (d * robust_pair).sum() / jnp.maximum(robust_pair.sum(), 1.0)
+            return _weighted_tdiff(a, robust_pair, denom_pairs)
 
         loss_temporal = (
             cfg.w_temporal_theta * tdiff(theta_aa)
@@ -308,8 +327,11 @@ def bundle_adjust_sharded(
 
     if mesh is None:
         mesh = make_mesh()
-    n_dev = int(np.prod(mesh.devices.shape))
+    # shard over the FIRST mesh axis only; on a 2-D ("data","model") mesh
+    # the state replicates over the other axes (psum/ppermute are scoped
+    # to `axis`, so n_dev must be that axis's size, not the device count)
     axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
 
     N = int(init.z.shape[0])
     pad = (-N) % n_dev
@@ -349,23 +371,12 @@ def bundle_adjust_sharded(
 
     def shard_loss(state: BAState, kp_l, robust_l, pairw_l):
         """Per-shard loss whose psum over the mesh is the global loss
-        (β/z regularizers contribute 1/n_dev per shard)."""
-        L = state.z.shape[0]
-        theta_aa = vposer_decode(vposer_params, state.z)[
-            "pose_body"].reshape(L, 63)
-        body_rm = batch_rodrigues(theta_aa.reshape(L, 21, 3))
-        joints = joints_only_forward(
-            smplx_params, jnp.broadcast_to(state.beta, (L, 10)), body_rm
-        )[:, :J]
-        R = rot6d_to_rotmat(state.phi)
-        cam_j = (jnp.einsum("nvij,nkj->nvki", R, joints,
-                            precision="highest")
-                 + state.tau[:, :, None, :])
-        j2d = _project(cam_j, intr[None])
-        resid = j2d[:, None] - kp_l[..., :2]
-        rho = geman_mcclure(resid, cfg.sigma).sum(-1) / 2.0
-        w2d = kp_l[..., 2] * robust_l[:, None, None, None]
-        loss_2d = (w2d * rho).sum() / denom_2d
+        (β/z regularizers contribute 1/n_dev per shard). The frame-data
+        math is `_reprojection_terms`/`_weighted_tdiff` — the SAME code
+        the single-device loss runs, so the two paths cannot desync."""
+        loss_2d, theta_aa = _reprojection_terms(
+            smplx_params, vposer_params, cfg, state, kp_l, intr,
+            robust_l, denom_2d)
 
         # padded z rows stay 0, so the sum is over true frames; the mean's
         # denominator must be the TRUE frame count to match `bundle_adjust`
@@ -374,10 +385,8 @@ def bundle_adjust_sharded(
 
         def tdiff(a):
             halo = jax.lax.ppermute(a[:1], axis, perm)
-            ext = jnp.concatenate([a, halo])
-            d = (ext[1:] - ext[:-1]) ** 2
-            d = d.reshape(L, -1).mean(-1)
-            return (d * pairw_l).sum() / denom_pairs
+            return _weighted_tdiff(jnp.concatenate([a, halo]), pairw_l,
+                                   denom_pairs)
 
         loss_temporal = (
             cfg.w_temporal_theta * tdiff(theta_aa)
@@ -431,12 +440,13 @@ def bundle_adjust_sharded(
 
     state, trace1 = stage1(init, kp, robust_f, pairw)
     state, trace2 = stage2(state, kp, robust_f, pairw)
-    final_loss = float(np.asarray(trace2)[-1])
+    trace = np.concatenate([np.asarray(trace1), np.asarray(trace2)])
     state = BAState(z=state.z[:N], phi=state.phi[:N], tau=state.tau[:N],
                     beta=state.beta)
     return state, {
-        "trace": np.concatenate([np.asarray(trace1), np.asarray(trace2)]),
-        "loss": final_loss,
+        "trace": trace,
+        # a stage may legitimately run 0 iters (e.g. --iters2 0)
+        "loss": float(trace[-1]) if trace.size else float("nan"),
     }
 
 
@@ -501,12 +511,24 @@ def run_sequence(
         tau[begin:end] = np.asarray(state.tau)
         betas.append(np.asarray(state.beta))
         traces.append(metrics["trace"])
-        exp = export_results(smplx_params, vposer_params, state)
-        cam1_wrt_cam0[begin:end] = exp["cam1_wrt_cam0"]
-        pose_body[begin:end] = exp["pose_body"]
-        if save_verts:
-            verts0.append(exp["verts0"])
-            verts1.append(exp["verts1"])
+        # export in bounded slices regardless of the optimization span:
+        # the full-mesh forward materializes (n, 10475, 4, 4) transforms,
+        # which would OOM at real capture lengths under --sharded's
+        # whole-sequence span (export is frame-independent, so slicing
+        # changes nothing)
+        for eb in range(begin, end, chunk_size):
+            ee = min(eb + chunk_size, end)
+            exp = export_results(
+                smplx_params, vposer_params,
+                BAState(z=state.z[eb - begin:ee - begin],
+                        phi=state.phi[eb - begin:ee - begin],
+                        tau=state.tau[eb - begin:ee - begin],
+                        beta=state.beta))
+            cam1_wrt_cam0[eb:ee] = exp["cam1_wrt_cam0"]
+            pose_body[eb:ee] = exp["pose_body"]
+            if save_verts:
+                verts0.append(exp["verts0"])
+                verts1.append(exp["verts1"])
         detail = (f" (2d {metrics['loss_2d']:.4f})"
                   if "loss_2d" in metrics else "")
         print(f"chunk [{begin}:{end}) final loss {metrics['loss']:.4f}"

@@ -197,7 +197,6 @@ def test_sequence_cli_end_to_end(tmp_path):
     assert result["z"].shape == (6, 32)
     assert result["beta_per_chunk"].shape == (1, 10)  # one joint solve
     assert np.isfinite(result["trace"]).all()
-    assert np.isfinite(result["trace"]).all()
     assert os.path.exists(os.path.join(out_dir, "cam_trajectory_test.png"))
 
 

@@ -49,6 +49,27 @@ def test_twoview_int8_forward_close_to_bf16(rng):
     assert np.isfinite(np.asarray(got.betas)).all()
 
 
+def test_int8_shim_sep_family(rng):
+    """Int8TwoView on the per-drone _sep model: both trunks quantized
+    separately, features fed through the sep from_features core loop;
+    output tracks the bf16 sep forward within the PTQ bound."""
+    from airpose_tpu.models.airpose import AirPoseTwoViewSep
+    from airpose_tpu.ops import Int8TwoView
+
+    model = AirPoseTwoViewSep(dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32))
+    bb = jnp.zeros((2, 2, 3))
+    pos = jnp.full((2, 2, 3), 0.5)
+    variables = model.init(jax.random.PRNGKey(0), x, bb, pos)
+
+    shim = Int8TwoView(model, variables, x.reshape(4, 64, 64, 3))
+    assert shim.sep and len(shim.qparams) == 2
+    want = model.apply(variables, x, bb, pos)
+    got = shim.apply(variables, x, bb, pos)
+    dpose = np.abs(np.asarray(got.pose) - np.asarray(want.pose))
+    assert dpose.mean() < 0.15 * np.asarray(want.pose).std()
+
+
 def test_mixed_stage_trunk(rng):
     """int8_stages=() runs every stage as folded-BN bf16 convs — must
     match the flax trunk in eval mode to bf16 tolerance; partial subsets

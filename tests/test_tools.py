@@ -94,6 +94,74 @@ def test_aruco_generate_detect_pose():
     assert abs(tvec[0]) < 0.2 * tvec[2] and abs(tvec[1]) < 0.2 * tvec[2]
 
 
+def test_prepare_real_capture_driver(tmp_path, rng):
+    """The per-machine preparation CLI end to end on synthetic imagery:
+    warped-chessboard calib frames → camera_calib.yml with K near truth;
+    ArUco capture frames → images/%06d.jpg + markerposes pkl in the
+    CopenetRealDataset layout."""
+    import cv2
+
+    from airpose_tpu.data.real import load_calib_yml
+    from airpose_tpu.tools.calibration import generate_aruco_marker
+    from airpose_tpu.tools.prepare_real_capture import main
+
+    K_true = np.asarray([[600.0, 0, 320], [0, 610.0, 240], [0, 0, 1]])
+
+    # chessboard texture: 10x7 squares = 9x6 inner corners, 40px squares,
+    # white border so warped edges don't fake corners
+    sq = 40
+    tex = np.full(((7 + 2) * sq, (10 + 2) * sq), 255, np.uint8)
+    for r in range(7):
+        for c in range(10):
+            if (r + c) % 2 == 0:
+                tex[(r + 1) * sq:(r + 2) * sq,
+                    (c + 1) * sq:(c + 2) * sq] = 0
+
+    calib_dir = tmp_path / "calib_frames"
+    os.makedirs(calib_dir)
+    square_m = 0.05
+    for k in range(6):
+        # plane point (x,y,0) in meters ↦ texture pixel; pose varies per k
+        rvec = np.asarray([0.25 * np.sin(k), 0.25 * np.cos(1.3 * k), 0.1 * k])
+        tvec = np.asarray([-0.25 + 0.02 * k, -0.18, 1.2 + 0.1 * k])
+        plane = np.asarray(
+            [[0, 0, 0], [10 * square_m, 0, 0],
+             [10 * square_m, 7 * square_m, 0], [0, 7 * square_m, 0]],
+            np.float32)
+        uv, _ = cv2.projectPoints(plane, rvec, tvec, K_true, np.zeros(5))
+        src = np.asarray([[sq, sq], [11 * sq, sq], [11 * sq, 8 * sq],
+                          [sq, 8 * sq]], np.float32)
+        H, _ = cv2.findHomography(src, uv.reshape(-1, 2))
+        frame = cv2.warpPerspective(tex, H, (640, 480),
+                                    borderValue=255)
+        cv2.imwrite(str(calib_dir / f"{k:03d}.png"), frame)
+
+    capture_dir = tmp_path / "capture_frames"
+    os.makedirs(capture_dir)
+    marker = generate_aruco_marker(0, 200)
+    for k in range(4):
+        frame = np.full((480, 640), 255, np.uint8)
+        x = 200 + 10 * k
+        frame[140:340, x:x + 200] = marker
+        cv2.imwrite(str(capture_dir / f"{k:03d}.jpg"), frame)
+
+    machine = str(tmp_path / "machine_1")
+    main([
+        "--machine_dir", machine, "--calib", str(calib_dir),
+        "--capture", str(capture_dir), "--calib_stride", "1",
+        "--square_size", str(square_m), "--marker_length", "0.5",
+    ])
+
+    K = load_calib_yml(os.path.join(machine, "camera_calib.yml"))
+    np.testing.assert_allclose(K[0, 0], 600.0, rtol=0.15)
+    assert sorted(os.listdir(os.path.join(machine, "images"))) == [
+        f"{i:06d}.jpg" for i in range(4)]
+    import pickle
+    poses = pickle.load(
+        open(os.path.join(machine, "markerposes_corrected_all.pkl"), "rb"))
+    assert len(poses) == 4 and "0" in next(iter(poses.values()))
+
+
 def test_calibration_from_synthetic_points(rng):
     import cv2
 
