@@ -163,6 +163,43 @@ def prepare_machine(machine_dir: str,
         detect_markerposes(machine_dir, K, dist, marker_length)
 
 
+def plot_markerposes(pkl_path: str, out_path: str) -> None:
+    """Diagnostic plot of each marker's rvec/tvec over frame index — the
+    reference's plotly inspection cells (ref
+    prepare_copenet_dataset.py:140-198) as one matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(pkl_path, "rb") as f:
+        poses = pickle.load(f)
+    by_marker: dict = {}
+    for fkey, dets in poses.items():
+        t = int(fkey)
+        for mid, rt in dets.items():
+            by_marker.setdefault(mid, []).append(
+                (t, np.asarray(rt["rvec"]).ravel(),
+                 np.asarray(rt["tvec"]).ravel()))
+
+    fig, axes = plt.subplots(max(len(by_marker), 1), 2,
+                             figsize=(10, 3 * max(len(by_marker), 1)),
+                             squeeze=False)
+    for row, (mid, entries) in enumerate(sorted(by_marker.items())):
+        entries.sort()
+        ts = [e[0] for e in entries]
+        rv = np.stack([e[1] for e in entries])
+        tv = np.stack([e[2] for e in entries])
+        for idx, c in enumerate("rgb"):
+            axes[row][0].plot(ts, np.degrees(rv[:, idx]), c, lw=0.8)
+            axes[row][1].plot(ts, tv[:, idx], c, lw=0.8)
+        axes[row][0].set_title(f"marker {mid} rvec (deg)")
+        axes[row][1].set_title(f"marker {mid} tvec (m)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def main(argv=None):
     import argparse
 
@@ -189,6 +226,9 @@ def main(argv=None):
     p.add_argument("--marker_length", type=float, default=0.555,
                    help="ArUco side length in meters (ref :122)")
     p.add_argument("--skip-aruco", action="store_true")
+    p.add_argument("--plot-markers", action="store_true",
+                   help="write markerposes.png diagnostics (the ref's "
+                        "plotly inspection cells)")
     args = p.parse_args(argv)
 
     prepare_machine(
@@ -198,6 +238,11 @@ def main(argv=None):
         downsample=args.downsample, marker_length=args.marker_length,
         skip_aruco=args.skip_aruco,
     )
+    if args.plot_markers and not args.skip_aruco:
+        plot_markerposes(
+            osp.join(args.machine_dir, "markerposes_corrected_all.pkl"),
+            osp.join(args.machine_dir, "markerposes.png"),
+        )
 
 
 if __name__ == "__main__":

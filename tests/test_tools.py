@@ -150,7 +150,9 @@ def test_prepare_real_capture_driver(tmp_path, rng):
         "--machine_dir", machine, "--calib", str(calib_dir),
         "--capture", str(capture_dir), "--calib_stride", "1",
         "--square_size", str(square_m), "--marker_length", "0.5",
+        "--plot-markers",
     ])
+    assert os.path.exists(os.path.join(machine, "markerposes.png"))
 
     K = load_calib_yml(os.path.join(machine, "camera_calib.yml"))
     np.testing.assert_allclose(K[0, 0], 600.0, rtol=0.15)
