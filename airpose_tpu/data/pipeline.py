@@ -38,10 +38,16 @@ _DECODE_POOL_LOCK = threading.Lock()
 def decode_pool(num_threads: int = 8) -> ThreadPoolExecutor:
     """Process-wide JPEG-decode thread pool shared by the dataset readers
     (cv2.imread releases the GIL). A persistent pool: spawning/joining one
-    per batch measured ~50 ms of pure thread churn at batch 30."""
+    per batch measured ~50 ms of pure thread churn at batch 30.
+
+    The pool GROWS to the largest ``num_threads`` ever requested (a new
+    executor replaces the old one, which finishes its in-flight work and
+    is garbage-collected); smaller requests reuse the existing pool — a
+    shared pool cannot shrink for one caller without throttling the
+    others."""
     global _DECODE_POOL
     with _DECODE_POOL_LOCK:
-        if _DECODE_POOL is None:
+        if _DECODE_POOL is None or num_threads > _DECODE_POOL._max_workers:
             _DECODE_POOL = ThreadPoolExecutor(num_threads)
     return _DECODE_POOL
 
@@ -207,19 +213,26 @@ class Prefetcher:
     def _finish_one(self):
         with self._lock:
             self._live_workers -= 1
-            if self._live_workers == 0:
+            # the sentinel goes in when ANY worker errors (so the consumer
+            # learns promptly while siblings still produce) or when all
+            # workers drained cleanly
+            if self._live_workers == 0 or self._error is not None:
                 self._q.put(self._done)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        item = self._q.get()
-        if item is self._done:
+        while True:
+            item = self._q.get()
+            if item is not self._done:
+                return item
             if self._error is not None:
                 raise RuntimeError("Prefetcher worker failed") from self._error
-            raise StopIteration
-        return item
+            with self._lock:
+                if self._live_workers == 0:
+                    raise StopIteration
+            # a spurious sentinel (raced with a late error-set): keep going
 
 
 def finish_batch(

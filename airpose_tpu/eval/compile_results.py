@@ -93,9 +93,16 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
 
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    focal = jnp.asarray(
-        [C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1], dtype=jnp.float32
-    )
+    # focal follows the dataset's VIEW order: with first_cam=1 the reader
+    # swaps views (view 0 = camera 1), so the per-view focal pair must
+    # swap with it (cam1 is ~12% shorter than cam0 — projecting with the
+    # wrong one silently corrupts the eval loss)
+    assert not getattr(ds, "shuffle_cams", False), \
+        "eval requires a fixed camera order"
+    pair = (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)
+    if getattr(ds, "first_cam", 0) == 1:
+        pair = pair[::-1]
+    focal = jnp.asarray(pair, dtype=jnp.float32)
     n = len(ds)
     for s in range(0, n - batch_size + 1, batch_size):
         hb = ds.host_batch(list(range(s, s + batch_size)), rng_np)
@@ -396,8 +403,11 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     extr = np.concatenate(all_extr)
     N = pred_rotmat.shape[0]
     if err_idcs is None:
-        # default robust mask: a person detected in both views
-        # (ref :137-138 person_present; err_idcs.npy overrides when given)
+        # default robust mask: a person detected in AT LEAST ONE view —
+        # matches the reference's ~(person_present[0]*person_present[1])
+        # where person_present means ABSENT (ref :137-138; err_idcs.npy
+        # overrides when given). Do not "fix" this to both-views: it would
+        # change crossview_consistency and break reference parity.
         conf = ds.opose[:, :, :, 2].sum(axis=2)  # (2, n)
         err_idcs = ~((conf[0] == 0) & (conf[1] == 0))
     err_idcs = np.asarray(err_idcs)[:N]
@@ -597,6 +607,11 @@ def main(argv=None):
                 cam_splits = []
                 for split in args.split:
                     ds = real_ds(split, cam)
+                    if len(ds) == 0:
+                        p.error(f"no frames for split '{split}' in the "
+                                "requested frame range (check "
+                                "--test_frames/--train_frames against the "
+                                "capture length)")
                     B = min(args.batch_size, len(ds))
                     outputs, metrics = compile_real_singleview(
                         state, model, smplx_params, vposer_params, ds, B,
@@ -617,6 +632,10 @@ def main(argv=None):
             return
         for split in args.split:
             ds = real_ds(split, args.first_cam)
+            if len(ds) == 0:
+                p.error(f"no frames for split '{split}' in the requested "
+                        "frame range (check --test_frames/--train_frames "
+                        "against the capture length)")
             B = min(args.batch_size, len(ds))
             outputs, metrics = compile_real_twoview(
                 state, model, smplx_params, vposer_params, ds, B, cfg,
@@ -644,6 +663,10 @@ def main(argv=None):
                             args.smplx_model_dir, gender=g)
                 genders_to_params = genders_to_params or None
             ds.precompute_canonical_gt(smplx_params, genders_to_params)
+            if len(ds) == 0:
+                p.error(f"no frames for split '{split}' in the requested "
+                        "frame range (check --test_frames/--train_frames "
+                        "against the capture length)")
             B = min(args.batch_size, len(ds))
             splits[split] = aerialpeople_batches(ds, B, out_size=args.img_res)
         split_names = args.split

@@ -63,10 +63,24 @@ class AirPoseServer:
 
     # ---- peer message bookkeeping ----
 
+    # entries older than this many frames behind the peer's newest message
+    # are unreachable (the processor only ever waits on its CURRENT frame)
+    PEER_PRUNE_HORIZON = 8
+
     def _note_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
         self._peer_msgs[(msg_type, frame_id)] = data
         self._latest_peer[msg_type] = data
         self._events.setdefault((msg_type, frame_id), asyncio.Event()).set()
+        # prune messages for frames this server dropped (latest-frame-wins)
+        # or whose wait already timed out — only a successful _wait_peer
+        # pops, so without this both dicts grow forever in exactly the
+        # degraded real-time regime the drop policy serves
+        horizon = frame_id - self.PEER_PRUNE_HORIZON
+        stale = [k for k in self._peer_msgs
+                 if k[0] == msg_type and k[1] < horizon]
+        for k in stale:
+            self._peer_msgs.pop(k, None)
+            self._events.pop(k, None)
 
     async def _wait_peer(self, msg_type: int, frame_id: int):
         """Wait for the peer's message for this frame; on timeout fall back

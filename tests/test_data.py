@@ -362,3 +362,60 @@ def test_prefetcher_propagates_worker_errors():
 
     with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
         next(it)
+
+
+def test_prefetcher_error_surfaces_while_siblings_alive():
+    """A failed factory worker must surface its error promptly even though
+    other workers keep producing (the sentinel goes in on first error, not
+    only after ALL workers exit)."""
+    import time
+
+    import pytest as _pytest
+
+    from airpose_tpu.data.pipeline import Prefetcher
+
+    def make_batch(wid):
+        if wid == 0:
+            raise ValueError("corrupt sample")
+        time.sleep(0.01)
+        return {"x": np.ones(2)}
+
+    it = Prefetcher.from_factory(make_batch, num_workers=3, depth=4)
+    with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        # worker 1/2 keep filling the queue; the error sentinel must still
+        # arrive within a bounded number of items
+        for _ in range(200):
+            next(it)
+
+
+def test_joint_tables_invariants():
+    """The reference's joint-convention tables (data/joints.py): flip
+    permutations are involutions and agree with the left/right structure
+    of the 49-joint name list (ref copenet constants.py:28-125)."""
+    from airpose_tpu.data import joints as J
+
+    assert len(J.JOINT_NAMES) == 49
+    assert set(J.JOINT_MAP) == set(J.JOINT_NAMES)
+
+    for perm in (J.SMPL_JOINTS_FLIP_PERM, J.J24_FLIP_PERM, J.J49_FLIP_PERM):
+        n = len(perm)
+        assert sorted(perm) == list(range(n))
+        assert all(perm[perm[i]] == i for i in range(n)), "not an involution"
+    assert sorted(J.SMPL_POSE_FLIP_PERM) == list(range(72))
+
+    # the 49-joint flip must swap each L/R name pair and fix the rest
+    def mirror(name):
+        for a, b in (("OP L", "OP R"), ("Left ", "Right ")):
+            if name.startswith(a):
+                return b + name[len(a):]
+            if name.startswith(b):
+                return a + name[len(b):]
+        return name
+
+    for i, name in enumerate(J.JOINT_NAMES):
+        j = J.J49_FLIP_PERM[i]
+        assert J.JOINT_NAMES[j] == mirror(name), (name, J.JOINT_NAMES[j])
+
+    # selector sanity: J17/J14 index into the 24-joint GT set
+    assert max(J.J24_TO_J17) < 24 and len(J.J24_TO_J14) == 14
+    assert max(J.H36M_TO_J17) < 17
