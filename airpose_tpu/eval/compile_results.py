@@ -587,14 +587,26 @@ def main(argv=None):
                   "train": range(*args.train_frames)}
         err = np.load(args.err_idcs) if args.err_idcs else None
 
+        _ds_cache: Dict = {}
+
         def real_ds(split, first_cam):
-            if is_aircap:
-                # cross-dataset eval (the reference's --testdata=aircapdata,
-                # ref copenet/dsets/aircapData.py:29-304)
-                return AircapDataset(path, drange=ranges[split],
-                                     first_cam=first_cam)
-            return CopenetRealDataset(path, frame_range=ranges[split],
-                                      first_cam=first_cam)
+            # the detector pkls / calib parse is identical for both camera
+            # orders (first_cam only permutes views at host_batch time), so
+            # the hmr per-camera path reuses one parsed dataset per split
+            if split not in _ds_cache:
+                if is_aircap:
+                    # cross-dataset eval (the reference's
+                    # --testdata=aircapdata, ref
+                    # copenet/dsets/aircapData.py:29-304)
+                    _ds_cache[split] = AircapDataset(
+                        path, drange=ranges[split], first_cam=first_cam)
+                else:
+                    _ds_cache[split] = CopenetRealDataset(
+                        path, frame_range=ranges[split],
+                        first_cam=first_cam)
+            ds = _ds_cache[split]
+            ds.first_cam = first_cam
+            return ds
 
         if args.model == "hmr":
             if args.int8:

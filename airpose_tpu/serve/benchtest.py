@@ -59,10 +59,15 @@ def run_benchtest(
     model=None,
     sep: bool = False,
     startup_wait: float = 1.5,
+    int8: bool = False,
 ) -> Dict[str, float]:
     """Replay every frame of ``batches`` (finished real eval batches) through
     two live servers, then compare step3 wire results against the fused
-    offline forward. Returns the six reference diffs."""
+    offline forward. Returns the six reference diffs.
+
+    ``int8`` serves with the quantized trunk (the --int8 deployment
+    configuration) while the offline forward stays bf16 — the diffs then
+    quantify exactly what int8 serving costs in the wire format."""
     import jax.numpy as jnp
 
     from ..models import AirPoseTwoView, AirPoseTwoViewSep
@@ -89,9 +94,10 @@ def run_benchtest(
     def serve():
         asyncio.set_event_loop(loop)
         regs = (
-            [StagedRegressor(variables, sep_view=v) for v in (0, 1)]
+            [StagedRegressor(variables, sep_view=v, int8=int8)
+             for v in (0, 1)]
             if sep else
-            [StagedRegressor(variables) for _ in (0, 1)]
+            [StagedRegressor(variables, int8=int8) for _ in (0, 1)]
         )
         loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
         loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
@@ -168,6 +174,10 @@ def main(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--img_res", type=int, default=224)
+    p.add_argument("--int8", action="store_true",
+                   help="serve with the int8 PTQ trunk; the offline "
+                        "reference stays bf16, so the printed diffs ARE "
+                        "the deployed quantization cost")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = p.parse_args(argv)
 
@@ -207,7 +217,7 @@ def main(argv=None):
     batches = list(real_batches(ds, B, out_size=args.img_res))
     diffs = run_benchtest(
         variables, batches, model=model,
-        sep=args.model == "copenet_twoview_sep",
+        sep=args.model == "copenet_twoview_sep", int8=args.int8,
     )
     for k, v in diffs.items():
         print(f"benchtest_absdiff_{k}: {v:.6f}")
