@@ -108,6 +108,27 @@ def test_staged_int8_close_to_bf16(served_model, rng):
     assert q._act_scales is scales
 
 
+def test_peer_message_pruning(served_model):
+    """Peer messages for frames the drop policy skipped (or whose wait
+    timed out) must not accumulate: _note_peer prunes behind an 8-frame
+    horizon, bounding both bookkeeping dicts in long degraded runs."""
+    from airpose_tpu.serve import protocol as P
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    srv = AirPoseServer(StagedRegressor(variables), robot_id=1)
+    data = np.zeros(145, np.float32)
+    for fid in range(100):
+        srv._note_peer(P.MSG_STEP1, fid, data)
+        srv._note_peer(P.MSG_STEP2, fid, data)
+    per_type = srv.PEER_PRUNE_HORIZON + 1
+    assert len(srv._peer_msgs) <= 2 * per_type, len(srv._peer_msgs)
+    assert len(srv._events) <= 2 * per_type, len(srv._events)
+    # the freshest message per type survives
+    assert (P.MSG_STEP1, 99) in srv._peer_msgs
+    assert (P.MSG_STEP2, 99) in srv._peer_msgs
+
+
 def _client_request(port, frame_id, img, bb, init_trans):
     sock = socket.create_connection(("127.0.0.1", port), timeout=30)
     sock.sendall(P.encode_image(0, frame_id, bb, init_trans, img))
