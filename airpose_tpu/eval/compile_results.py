@@ -125,8 +125,6 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     bf16 trunk (ops/int8_trunk.py) — THE tool for measuring what
     quantized deployment costs in MPJPE/PA-MPJPE on a given dataset.
     Calibration uses the first eval batch's images."""
-    import itertools
-
     import jax
     import jax.numpy as jnp
 
@@ -136,16 +134,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     from ..train.state import make_optimizer
 
     if int8:
-        from ..ops import Int8TwoView
-
-        batches = iter(batches)
-        first = next(batches)
-        batches = itertools.chain([first], batches)
-        imgs = jnp.asarray(first["images"])
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:8]
-        model = Int8TwoView(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats}, imgs)
+        model, batches = _int8_shim(model, state, batches, view_folded=True)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
@@ -218,12 +207,34 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     return outputs, {k: float(v) for k, v in metrics.items()}
 
 
+def _int8_shim(model, state, batches, view_folded: bool):
+    """Peek the first batch for calibration and wrap ``model`` in the
+    Int8Inference shim (shared by all compile passes' --int8 modes)."""
+    import itertools
+
+    import jax.numpy as jnp
+
+    from ..ops import Int8Inference
+
+    batches = iter(batches)
+    first = next(batches)
+    imgs = jnp.asarray(first["images"])
+    if view_folded:
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+    model = Int8Inference(
+        model, {"params": state.params, "batch_stats": state.batch_stats},
+        imgs[:8])
+    return model, itertools.chain([first], batches)
+
+
 def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
-                       cfg, family):
+                       cfg, family, int8=False):
     """Eval the hmr / muhmr / copenet_singleview families: outputs pkl in
     the reference single-view format (pred_angles, pred_smpltrans via the
     weak-cam reprojection for the weak families — ref hmr.py:178-193,
-    hmr_synth_res_compile.py:129-170) + MPJPE / PA-MPJPE / MPE."""
+    hmr_synth_res_compile.py:129-170) + MPJPE / PA-MPJPE / MPE.
+    ``int8`` evaluates the quantized serving configuration (see
+    compile_twoview)."""
     import jax
     import jax.numpy as jnp
 
@@ -233,6 +244,9 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
     from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
     from ..train.loop import make_singleview_step_fns
     from ..train.state import make_optimizer
+
+    if int8:
+        model, batches = _int8_shim(model, state, batches, view_folded=True)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
@@ -331,8 +345,6 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     ref copenet_real_res_compile.py:264-276) + the robust cross-view
     consistency metric. No 3D GT exists on this path. ``int8`` evaluates
     the quantized serving configuration (see compile_twoview)."""
-    import itertools
-
     import jax
     import jax.numpy as jnp
 
@@ -342,16 +354,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
-        from ..ops import Int8TwoView
-
-        batches = iter(batches)
-        first = next(batches)
-        batches = itertools.chain([first], batches)
-        imgs = jnp.asarray(first["images"])
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:8]
-        model = Int8TwoView(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats}, imgs)
+        model, batches = _int8_shim(model, state, batches, view_folded=True)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_twoview_step_fns(
@@ -423,7 +426,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 
 def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
                             batch_size: int, cfg, cam: int,
-                            out_size: int = 224):
+                            out_size: int = 224, int8=False):
     """Real-data Baseline (hmr) compile for ONE camera — the reference
     evaluates two hmr nets pinned to cam0/cam1 via ``first_cam`` and writes
     one outputs pkl per camera (ref scripts/hmr_real_res_compile.py; the
@@ -439,6 +442,10 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
     from ..train.loop import make_real_singleview_step_fns
     from ..train.state import make_optimizer
 
+    batches = real_batches(ds, batch_size, out_size=out_size)
+    if int8:
+        model, batches = _int8_shim(model, state, batches, view_folded=True)
+
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_singleview_step_fns(
         model, smplx_params, vposer_params, cfg, tx, "hmr_camswap_difffl"
@@ -446,7 +453,7 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
     focal_full = (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)[cam]
 
     outputs, losses = [], []
-    for batch in real_batches(ds, batch_size, out_size=out_size):
+    for batch in batches:
         B = int(batch["images"].shape[0])
         metrics, out = eval_step(state, batch)
         losses.append(float(metrics["loss"]))
@@ -495,7 +502,7 @@ def main(argv=None):
     p.add_argument("--save-full", action="store_true")
     p.add_argument("--int8", action="store_true",
                    help="evaluate the int8 PTQ serving configuration "
-                        "(two-view families, synthetic/on-disk/real "
+                        "(any model family, synthetic/on-disk/real "
                         "paths): measures the quantization cost on the "
                         "same metrics")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
@@ -609,9 +616,6 @@ def main(argv=None):
             return ds
 
         if args.model == "hmr":
-            if args.int8:
-                p.error("--int8 supports the two-view families only "
-                        "(copenet_twoview / copenet_twoview_sep)")
             # Baseline on real data: one outputs pkl PER CAMERA, suffixes
             # "0"/"1" (ref hmr_real_res_compile.py / bundle_adj.py:152-154
             # loading fname+"0", fname+"1")
@@ -627,7 +631,7 @@ def main(argv=None):
                     B = min(args.batch_size, len(ds))
                     outputs, metrics = compile_real_singleview(
                         state, model, smplx_params, vposer_params, ds, B,
-                        cfg, cam, out_size=args.img_res,
+                        cfg, cam, out_size=args.img_res, int8=args.int8,
                     )
                     cam_splits.append(outputs)
                     metrics_by_split[f"{split}_cam{cam}"] = metrics
@@ -691,12 +695,9 @@ def main(argv=None):
                     save_full=args.save_full, int8=args.int8,
                 )
             else:
-                if args.int8:
-                    p.error("--int8 supports the two-view families only "
-                            "(copenet_twoview / copenet_twoview_sep, "
-                            "synthetic/on-disk/real)")
                 outputs, metrics = compile_singleview(
-                    state, model, smplx_params, splits[split], cfg, args.model
+                    state, model, smplx_params, splits[split], cfg,
+                    args.model, int8=args.int8,
                 )
             per_split.append(outputs)
             metrics_by_split[split] = metrics

@@ -88,13 +88,26 @@ class HMR(nn.Module):
         iters: Optional[int] = None,
         train: bool = False,
     ) -> WeakCamOutput:
-        B = x.shape[0]
+        xf = self.trunk(x, train=train)
+        return self.from_features(xf, init_cam, init_theta, init_shape,
+                                  iters, train)
+
+    def from_features(
+        self,
+        xf: jnp.ndarray,  # (B, 2048)
+        init_cam: Optional[jnp.ndarray] = None,
+        init_theta: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> WeakCamOutput:
+        """IEF from precomputed trunk features (alternate trunk execution
+        strategies — see AirPoseTwoView.from_features)."""
+        B = xf.shape[0]
         mean_pose, mean_shape, mean_cam = mean_init_state((B,))
         pose = mean_pose if init_theta is None else init_theta
         shape = mean_shape if init_shape is None else init_shape
         cam = mean_cam if init_cam is None else init_cam
-
-        xf = self.trunk(x, train=train)
         for _ in range(iters or self.iters):
             xc = jnp.concatenate([xf, pose, shape, cam], axis=-1)
             dp, ds, dc = self.core(xc, train=train)
@@ -132,13 +145,27 @@ class SingleViewFullCam(nn.Module):
         iters: Optional[int] = None,
         train: bool = False,
     ) -> FullCamOutput:
-        B = x.shape[0]
+        xf = self.trunk(x, train=train)
+        return self.from_features(xf, bb, init_position, init_theta,
+                                  init_shape, iters, train)
+
+    def from_features(
+        self,
+        xf: jnp.ndarray,  # (B, 2048)
+        bb: jnp.ndarray,
+        init_position: jnp.ndarray,
+        init_theta: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> FullCamOutput:
+        """IEF from precomputed trunk features (alternate trunk execution
+        strategies — see AirPoseTwoView.from_features)."""
+        B = xf.shape[0]
         mean_pose, mean_shape, _ = mean_init_state((B,))
         theta = mean_pose if init_theta is None else init_theta
         pose = jnp.concatenate([init_position, theta], axis=-1)
         shape = mean_shape if init_shape is None else init_shape
-
-        xf = self.trunk(x, train=train)
         for _ in range(iters or self.iters):
             xc = jnp.concatenate([xf, bb, pose, shape], axis=-1)
             dp, ds = self.core(xc, train=train)
@@ -179,14 +206,28 @@ class MuHMR(nn.Module):
         train: bool = False,
     ) -> WeakCamOutput:
         B, V = images.shape[:2]
+        xf = self.trunk(
+            images.reshape((B * V,) + images.shape[2:]), train=train
+        ).reshape(B, V, -1)
+        return self.from_features(xf, init_cam, init_theta, init_shape,
+                                  iters, train)
+
+    def from_features(
+        self,
+        xf: jnp.ndarray,  # (B, 2, 2048)
+        init_cam: Optional[jnp.ndarray] = None,
+        init_theta: Optional[jnp.ndarray] = None,
+        init_shape: Optional[jnp.ndarray] = None,
+        iters: Optional[int] = None,
+        train: bool = False,
+    ) -> WeakCamOutput:
+        """IEF from precomputed trunk features (alternate trunk execution
+        strategies — see AirPoseTwoView.from_features)."""
+        B, V = xf.shape[:2]
         mean_pose, mean_shape, mean_cam = mean_init_state((B, V))
         pose = mean_pose if init_theta is None else init_theta
         shape = mean_shape if init_shape is None else init_shape
         cam = mean_cam if init_cam is None else init_cam
-
-        xf = self.trunk(
-            images.reshape((B * V,) + images.shape[2:]), train=train
-        ).reshape(B, V, -1)
 
         for _ in range(iters or self.iters):
             orient, art = pose[..., :6], pose[..., 6:]

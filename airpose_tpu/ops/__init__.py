@@ -1,6 +1,6 @@
 from .int8_trunk import (calibrate_act_scales, quantize_trunk_params,
                          resnet50_int8_infer, twoview_int8_forward,
-                         Int8TwoView)
+                         Int8TwoView, Int8Inference)
 from .int8_bottleneck import (int8_block, quantize_trunk_pallas,
                               resnet50_int8_pallas_infer)
 from .fused_bottleneck import (
@@ -22,6 +22,7 @@ __all__ = [
     "resnet50_int8_infer",
     "twoview_int8_forward",
     "Int8TwoView",
+    "Int8Inference",
     "int8_block",
     "quantize_trunk_pallas",
     "resnet50_int8_pallas_infer",

@@ -234,14 +234,19 @@ def twoview_int8_forward(model, variables, qparams: Dict, act_scales: Dict,
                        method=type(model).from_features, **kwargs)
 
 
-class Int8TwoView:
-    """Model-like shim whose ``apply`` routes the eval-mode two-view
+class Int8Inference:
+    """Model-like shim whose ``apply`` routes any family's eval-mode
     forward through the int8 trunk — a drop-in for the `model` argument
-    of `train/loop.make_twoview_step_fns` on INFERENCE paths (the eval
+    of the `train/loop` step-fn factories on INFERENCE paths (the eval
     CLI's --int8 accuracy measurement). Quantize + calibrate up front
-    (outside jit: the step fns trace `apply`). Handles both the shared
-    AirPoseTwoView trunk and the per-drone trunk0/trunk1 of the _sep
-    family (each drone's trunk is quantized and calibrated separately)."""
+    (outside jit: the step fns trace `apply`).
+
+    Works for every model family because they all share the shape
+    `xf = trunk(images); from_features(xf, *family_args)`:
+      * single-view input (B, H, W, 3) → features (B, 2048);
+      * view-folded input (B, 2, H, W, 3) → features (B, 2, 2048);
+      * per-drone trunk0/trunk1 (`_sep`): each trunk quantized and
+        calibrated separately, per-view features stacked."""
 
     def __init__(self, model, variables, sample_images: jnp.ndarray,
                  int8_stages=(1, 2, 3, 4)):
@@ -253,25 +258,37 @@ class Int8TwoView:
         self.act_scales = [calibrate_act_scales(qp, sample_images)
                            for qp in self.qparams]
 
-    def apply(self, variables, images, bb, trans, iters=None,
-              train=False, **kwargs):
+    def _features(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.sep:
+            return jnp.stack(
+                [resnet50_int8_infer(self.qparams[v], images[:, v],
+                                     act_scales=self.act_scales[v],
+                                     int8_stages=self.int8_stages)
+                 for v in (0, 1)],
+                axis=1,
+            )
+        if images.ndim == 5:  # view-folded (B, V, H, W, 3)
+            B, V = images.shape[:2]
+            return resnet50_int8_infer(
+                self.qparams[0], images.reshape((B * V,) + images.shape[2:]),
+                act_scales=self.act_scales[0],
+                int8_stages=self.int8_stages,
+            ).reshape(B, V, -1)
+        return resnet50_int8_infer(
+            self.qparams[0], images, act_scales=self.act_scales[0],
+            int8_stages=self.int8_stages)
+
+    def apply(self, variables, images, *args, iters=None, train=False,
+              **kwargs):
         if train or kwargs.pop("mutable", None):
             raise ValueError("the int8 trunk is inference-only")
-        if not self.sep:
-            return twoview_int8_forward(
-                self.model, variables, self.qparams[0], self.act_scales[0],
-                images, bb, trans, int8_stages=self.int8_stages,
-                iters=iters, **kwargs)
-        xf = jnp.stack(
-            [resnet50_int8_infer(self.qparams[v], images[:, v],
-                                 act_scales=self.act_scales[v],
-                                 int8_stages=self.int8_stages)
-             for v in (0, 1)],
-            axis=1,
-        )
         return self.model.apply(
-            variables, xf, bb, trans,
+            variables, self._features(images), *args,
             method=type(self.model).from_features, iters=iters, **kwargs)
+
+
+# original (two-view-only) name, kept as an alias
+Int8TwoView = Int8Inference
 
 
 def calibrate_act_scales(qparams: Dict, sample_x: jnp.ndarray) -> Dict:

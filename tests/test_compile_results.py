@@ -75,6 +75,19 @@ def test_compile_results_int8(tmp_path, capsys):
     q = metrics["int8"]["test"]["mpjpe0"]
     assert np.isfinite(q) and q < 3 * b + 0.1, (b, q)
 
+    # --int8 covers the single-view families too (4-D trunk input path)
+    out_pkl = str(tmp_path / "results_hmr_int8.pkl")
+    main([
+        "--model", "hmr", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "3", "--img_res", "64",
+        "--synthetic_verts", "99", "--int8",
+    ])
+    capsys.readouterr()
+    with open(out_pkl + ".metrics.json") as f:
+        hmr_m = json.load(f)
+    assert np.isfinite(hmr_m["test"]["mpjpe"]), hmr_m
+
 
 def test_compile_results_ondisk_singleview(tmp_path):
     from airpose_tpu.bodymodel import synthetic_smplx_params
