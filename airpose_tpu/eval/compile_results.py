@@ -134,7 +134,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     from ..train.state import make_optimizer
 
     if int8:
-        model, batches = _int8_shim(model, state, batches, view_folded=True)
+        model, batches = _int8_shim(model, state, batches)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
@@ -207,7 +207,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     return outputs, {k: float(v) for k, v in metrics.items()}
 
 
-def _int8_shim(model, state, batches, view_folded: bool):
+def _int8_shim(model, state, batches):
     """Peek the first batch for calibration and wrap ``model`` in the
     Int8Inference shim (shared by all compile passes' --int8 modes)."""
     import itertools
@@ -219,7 +219,7 @@ def _int8_shim(model, state, batches, view_folded: bool):
     batches = iter(batches)
     first = next(batches)
     imgs = jnp.asarray(first["images"])
-    if view_folded:
+    if imgs.ndim == 5:  # canonical (B, 2, H, W, 3) batches: fold the views
         imgs = imgs.reshape((-1,) + imgs.shape[2:])
     model = Int8Inference(
         model, {"params": state.params, "batch_stats": state.batch_stats},
@@ -246,7 +246,7 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
     from ..train.state import make_optimizer
 
     if int8:
-        model, batches = _int8_shim(model, state, batches, view_folded=True)
+        model, batches = _int8_shim(model, state, batches)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
@@ -354,7 +354,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
-        model, batches = _int8_shim(model, state, batches, view_folded=True)
+        model, batches = _int8_shim(model, state, batches)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_twoview_step_fns(
@@ -444,7 +444,7 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
 
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
-        model, batches = _int8_shim(model, state, batches, view_folded=True)
+        model, batches = _int8_shim(model, state, batches)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_singleview_step_fns(
@@ -668,6 +668,10 @@ def main(argv=None):
         splits = {}
         for split in args.split:
             ds = AerialPeopleDataset(args.datapath, split)
+            if len(ds) == 0:
+                p.error(f"no samples for split '{split}' under "
+                        f"{args.datapath} (expected the AerialPeople pkl "
+                        "layout with a non-empty split directory)")
             genders_to_params = None
             if args.smplx_model_dir:
                 genders_to_params = {}
@@ -679,10 +683,6 @@ def main(argv=None):
                             args.smplx_model_dir, gender=g)
                 genders_to_params = genders_to_params or None
             ds.precompute_canonical_gt(smplx_params, genders_to_params)
-            if len(ds) == 0:
-                p.error(f"no frames for split '{split}' in the requested "
-                        "frame range (check --test_frames/--train_frames "
-                        "against the capture length)")
             B = min(args.batch_size, len(ds))
             splits[split] = aerialpeople_batches(ds, B, out_size=args.img_res)
         split_names = args.split

@@ -96,7 +96,12 @@ class AirPoseServer:
                 self._events.pop(key, None)
                 return self._latest_peer.get(msg_type)
         self._events.pop(key, None)
-        return self._peer_msgs.pop(key)
+        # the entry can vanish between the event firing and this task
+        # resuming: a buffered message burst drains synchronously in
+        # peer_loop and a newer frame's _note_peer may prune this key —
+        # fall back to the freshest message (lag-one), never KeyError
+        data = self._peer_msgs.pop(key, None)
+        return data if data is not None else self._latest_peer.get(msg_type)
 
     def _peer_art_shape(self, data: Optional[np.ndarray]):
         if data is None:  # never heard from the peer: mean-parameter state

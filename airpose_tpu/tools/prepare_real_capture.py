@@ -238,11 +238,15 @@ def main(argv=None):
         downsample=args.downsample, marker_length=args.marker_length,
         skip_aruco=args.skip_aruco,
     )
-    if args.plot_markers and not args.skip_aruco:
-        plot_markerposes(
-            osp.join(args.machine_dir, "markerposes_corrected_all.pkl"),
-            osp.join(args.machine_dir, "markerposes.png"),
-        )
+    if args.plot_markers:
+        pkl_path = osp.join(args.machine_dir,
+                            "markerposes_corrected_all.pkl")
+        if osp.exists(pkl_path):  # incl. a pre-existing one under --skip-aruco
+            plot_markerposes(
+                pkl_path, osp.join(args.machine_dir, "markerposes.png"))
+        else:
+            print(f"--plot-markers: no {pkl_path} to plot "
+                  "(run without --skip-aruco first)")
 
 
 if __name__ == "__main__":
