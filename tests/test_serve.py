@@ -108,6 +108,47 @@ def test_staged_int8_close_to_bf16(served_model, rng):
     assert q._act_scales is scales
 
 
+def test_staged_int8_matches_fused_int8(served_model, rng):
+    """The staged≡fused identity survives quantization: the 3-round
+    message exchange over int8 features equals the fused int8 forward
+    when both use the same quantized weights and calibration (small
+    tolerance: conv reduction order may differ between the per-view and
+    view-folded batch shapes)."""
+    from airpose_tpu.ops import (calibrate_act_scales,
+                                 quantize_trunk_params,
+                                 twoview_int8_forward)
+
+    model, variables = served_model
+    B = 1
+    x = jnp.asarray(rng.normal(size=(B, 2, 224, 224, 3)).astype(np.float32) * 0.1)
+    bb = jnp.asarray(rng.normal(size=(B, 2, 3)).astype(np.float32) * 0.1)
+    pos = jnp.full((B, 2, 3), 10.0)
+
+    qp = quantize_trunk_params(variables)
+    scales = calibrate_act_scales(qp, np.asarray(x).reshape(-1, 224, 224, 3))
+    fused = twoview_int8_forward(model, variables, qp, scales, x, bb,
+                                 pos * C.TRANS_SCALE, iters=3)
+
+    reg = StagedRegressor(variables, int8=True)
+    reg._act_scales = scales  # same calibration as the fused reference
+    states = [
+        reg.step1(np.asarray(x[:, v]), np.asarray(bb[:, v]),
+                  np.asarray(pos[:, v]))
+        for v in (0, 1)
+    ]
+    for _ in range(2):
+        wires = [state_to_wire(s) for s in states]
+        new = []
+        for v in (0, 1):
+            art, shape = wire_to_peer(wires[1 - v])
+            new.append(reg.step23(states[v], np.asarray(bb[:, v]),
+                                  art[None], shape[None]))
+        states = new
+    staged_pose = np.stack([s.pose[0] for s in states])
+    np.testing.assert_allclose(staged_pose, np.asarray(fused.pose[0]),
+                               atol=2e-3)
+
+
 def test_peer_message_pruning(served_model):
     """Peer messages for frames the drop policy skipped (or whose wait
     timed out) must not accumulate: _note_peer prunes behind an 8-frame
