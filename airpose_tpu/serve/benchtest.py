@@ -171,6 +171,8 @@ def main(argv=None):
     p.add_argument("--model", default="copenet_twoview",
                    choices=("copenet_twoview", "copenet_twoview_sep"))
     p.add_argument("--ckpt", default=None, help="orbax TrainState dir")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="reference Lightning .ckpt, converted in-memory")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--img_res", type=int, default=224)
@@ -186,32 +188,28 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
-
     from ..data import CopenetRealDataset
     from ..eval.compile_results import real_batches
-    from ..models import MODEL_REGISTRY, family_init_args
-    from ..train.state import create_train_state
 
     path = (args.datapath[len("real://"):]
             if args.datapath.startswith("real://") else args.datapath)
     ds = CopenetRealDataset(path, frame_range=range(*args.frames))
 
-    model = MODEL_REGISTRY[args.model]()
-    state, _ = create_train_state(
-        model, family_init_args(args.model, 1, 64), jax.random.PRNGKey(0),
-        lr=5e-5,
-    )
-    if args.ckpt:
-        import orbax.checkpoint as ocp
-        import os
+    if args.ckpt or args.torch_ckpt:
+        from ..train.checkpoint import load_model_variables
 
-        state = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.ckpt), state
+        model, variables = load_model_variables(
+            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt
         )
-    elif not args.random_init:
-        p.error("provide --ckpt or --random-init")
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    elif args.random_init:
+        from ..models import MODEL_REGISTRY, family_init_args
+
+        model = MODEL_REGISTRY[args.model]()
+        variables = model.init(
+            jax.random.PRNGKey(0), *family_init_args(args.model, 1, 64)
+        )
+    else:
+        p.error("provide --ckpt, --torch-ckpt, or --random-init")
 
     B = min(args.batch_size, len(ds))
     batches = list(real_batches(ds, B, out_size=args.img_res))

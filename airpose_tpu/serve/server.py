@@ -243,8 +243,18 @@ def main(argv=None):
     parser.add_argument("--port", type=int, required=True)
     parser.add_argument("--peer-host", default="127.0.0.1")
     parser.add_argument("--peer-port", type=int, default=0)
-    parser.add_argument("--robot-id", type=int, required=True)
-    parser.add_argument("--ckpt", default=None, help="orbax checkpoint dir")
+    parser.add_argument("--robot-id", type=int, required=True,
+                        help="1 or 2; with --model copenet_twoview_sep this "
+                             "selects which drone's weight copy serves")
+    parser.add_argument("--model", default="copenet_twoview",
+                        choices=("copenet_twoview", "copenet_twoview_sep"))
+    parser.add_argument("--ckpt", default=None,
+                        help="orbax checkpoint dir (TrainState from the "
+                             "trainer/converter, or raw variables)")
+    parser.add_argument("--torch-ckpt", default=None,
+                        help="reference Lightning .ckpt — converted "
+                             "in-memory (the reference's `python server.py "
+                             "-p PORT -m file.ckpt` deployment contract)")
     parser.add_argument("--random-init", action="store_true",
                         help="serve random weights (protocol testing)")
     parser.add_argument("--int8", action="store_true",
@@ -265,23 +275,29 @@ def main(argv=None):
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
-    import jax.numpy as jnp
+    if args.robot_id not in (1, 2):
+        parser.error("--robot-id must be 1 or 2")
+    if args.ckpt or args.torch_ckpt:
+        from ..train.checkpoint import load_model_variables
 
-    from ..models import AirPoseTwoView
+        _, variables = load_model_variables(
+            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt
+        )
+    elif args.random_init:
+        from ..models import MODEL_REGISTRY, family_init_args
 
-    model = AirPoseTwoView()
-    x = jnp.zeros((1, 2, 224, 224, 3))
-    variables = model.init(
-        jax.random.PRNGKey(0), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
-    )
-    if args.ckpt:
-        import orbax.checkpoint as ocp
+        model = MODEL_REGISTRY[args.model]()
+        variables = model.init(
+            jax.random.PRNGKey(0), *family_init_args(args.model, 1, 64)
+        )
+    else:
+        parser.error("provide --ckpt, --torch-ckpt, or --random-init")
 
-        variables = ocp.StandardCheckpointer().restore(args.ckpt, variables)
-    elif not args.random_init:
-        parser.error("provide --ckpt or --random-init")
-
-    reg = StagedRegressor(variables, int8=args.int8)
+    # a _sep checkpoint carries per-drone weight copies; this process IS one
+    # drone, so it serves its own copy (ref model_copenet_sep.py:169-237)
+    sep_view = (args.robot_id - 1) if args.model == "copenet_twoview_sep" \
+        else None
+    reg = StagedRegressor(variables, sep_view=sep_view, int8=args.int8)
     asyncio.run(
         run_server(reg, args.robot_id, args.port, args.peer_host,
                    args.peer_port, peer_timeout=args.peer_timeout)

@@ -174,6 +174,57 @@ def convert_reference_checkpoint(
     }
 
 
+def load_model_variables(model_name: str, ckpt: Optional[str] = None,
+                         torch_ckpt: Optional[str] = None):
+    """Inference-time weight loading shared by the serving/bench CLIs:
+    returns ``(model, {"params", "batch_stats"})`` for one model family.
+
+    ``ckpt`` is an orbax directory written by this framework (a TrainState
+    from the trainer/converter, or a raw variables dict). The restore is
+    template-free on purpose: the optimizer state in the checkpoint may
+    belong to any optimizer variant (e.g. the ``train_reg_only``
+    multi_transform) and serving never needs it — a TrainState template
+    would reject exactly those checkpoints (the round-2 `--ckpt` defect).
+
+    ``torch_ckpt`` is a reference PyTorch-Lightning ``.ckpt`` / bare state
+    dict, converted in memory (the deployment contract
+    `python server.py -p PORT -m file.ckpt`, ref README server
+    instructions)."""
+    from ..models import MODEL_REGISTRY, family_init_args
+    from .state import create_train_state
+
+    model = MODEL_REGISTRY[model_name]()
+    if (ckpt is None) == (torch_ckpt is None):
+        raise ValueError("provide exactly one of ckpt / torch_ckpt")
+    if torch_ckpt is not None:
+        import torch  # host-side conversion only — not the compute path
+
+        blob = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
+        lightning = any(k.startswith("model.") for k in sd)
+        conv = convert_reference_checkpoint(sd, model_name, lightning=lightning)
+        # init template supplies any batch_stats the converter doesn't carry
+        state, _ = create_train_state(
+            model, family_init_args(model_name, batch_size=1, img_res=64),
+            jax.random.PRNGKey(0), lr=5e-5,
+        )
+        as_np = lambda tree: jax.tree.map(
+            lambda a: np.asarray(a, np.float32), tree
+        )
+        return model, {
+            "params": as_np(conv["params"]),
+            "batch_stats": {**state.batch_stats,
+                            **as_np(conv["batch_stats"])},
+        }
+    restored = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+    if "params" not in restored:
+        raise ValueError(
+            f"{ckpt} holds no 'params' tree — not a TrainState/variables "
+            "checkpoint of this framework")
+    return model, {"params": restored["params"],
+                   "batch_stats": restored.get("batch_stats", {})}
+
+
 # ---------------------------------------------------------------------------
 # CLI: reference Lightning .ckpt → orbax TrainState
 # ---------------------------------------------------------------------------

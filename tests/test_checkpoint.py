@@ -347,3 +347,46 @@ def test_best_val_persists_across_manager_restarts(tmp_path):
     m2.save_with_val(worse, val_loss=1.5)
     best = m2.restore(jax.tree.map(jnp.zeros_like, state), "best")
     np.testing.assert_array_equal(np.asarray(best.params["w"]), np.ones(2))
+
+
+def test_load_model_variables_both_sources(tmp_path):
+    """The serving CLIs' shared loader: (a) a reference Lightning .ckpt
+    file converts in-memory to the same weights the file converter writes,
+    and (b) an orbax TrainState written with the `train_reg_only`
+    multi_transform optimizer restores template-free (the opt_state
+    variant the round-2 `--ckpt` path could not handle)."""
+    from airpose_tpu.models import family_init_args
+    from airpose_tpu.train.checkpoint import load_model_variables
+    from airpose_tpu.train.state import create_train_state
+
+    torch.manual_seed(7)
+    trunk = TorchResNet50Trunk()
+    sd = {"model." + k: v for k, v in trunk.state_dict().items()}
+    sd.update({"model." + k: v for k, v in _regressor_sd("", 8).items()})
+    ckpt_file = tmp_path / "final.ckpt"
+    torch.save({"state_dict": sd, "hyper_parameters": {}}, ckpt_file)
+
+    model, variables = load_model_variables(
+        "copenet_twoview", torch_ckpt=str(ckpt_file))
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["core"]["fc1"]["kernel"]),
+        sd["model.fc1.weight"].numpy().T, atol=1e-6)
+    assert "trunk" in variables["batch_stats"]
+
+    from airpose_tpu.models import MODEL_REGISTRY
+
+    state, _ = create_train_state(
+        MODEL_REGISTRY["copenet_twoview"](),
+        family_init_args("copenet_twoview", 1, 64),
+        jax.random.PRNGKey(3), lr=5e-5, train_reg_only=True,
+    )
+    mgr = CheckpointManager(str(tmp_path / "orbax"))
+    mgr.save(state, "last")
+    _, restored = load_model_variables(
+        "copenet_twoview", ckpt=str(tmp_path / "orbax" / "last"))
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["core"]["fc1"]["kernel"]),
+        np.asarray(state.params["core"]["fc1"]["kernel"]), atol=0)
+
+    with pytest.raises(ValueError):
+        load_model_variables("copenet_twoview")

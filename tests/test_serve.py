@@ -407,3 +407,78 @@ def test_sep_staged_matches_sep_fused(rng):
         states = new
     staged_pose = np.stack([s.pose[0] for s in states])
     np.testing.assert_allclose(staged_pose, np.asarray(fused.pose[0]), atol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["copenet_twoview", "copenet_twoview_sep"])
+def test_server_cli_serves_saved_checkpoint(tmp_path, rng, family):
+    """The deployment entry point end to end: save a TrainState checkpoint
+    exactly as the trainer does (for the shared family, with the
+    `train_reg_only` multi_transform optimizer — the opt_state variant a
+    TrainState-template restore rejects), launch `server.main --ckpt`, send
+    one frame over TCP, and check the step3 result equals the degraded
+    (mean-peer) staged path computed directly from the ORIGINAL weights.
+    This is the round-2 defect's regression test: the reference contract is
+    `python server.py -p PORT -m file.ckpt` (ref README server
+    instructions)."""
+    import time
+
+    from airpose_tpu.models import MODEL_REGISTRY, family_init_args
+    from airpose_tpu.serve import server as S
+    from airpose_tpu.serve.benchtest import _free_ports
+    from airpose_tpu.train.checkpoint import CheckpointManager
+    from airpose_tpu.train.state import create_train_state
+
+    model = MODEL_REGISTRY[family]()
+    state, _ = create_train_state(
+        model, family_init_args(family, 1, 64), jax.random.PRNGKey(17),
+        lr=5e-5, train_reg_only=family == "copenet_twoview",
+    )
+    ckpt_dir = str(tmp_path / "checkpoints")
+    CheckpointManager(ckpt_dir).save(state, "best")
+
+    (port,) = _free_ports(1)
+    robot_id = 2  # robot 2 with a sep checkpoint must serve trunk1/core1
+    t = threading.Thread(
+        target=S.main,
+        args=([
+            "--port", str(port), "--robot-id", str(robot_id),
+            "--model", family, "--ckpt", str(tmp_path / "checkpoints" / "best"),
+            "--peer-timeout", "0.2",
+        ],),
+        daemon=True,
+    )
+    t.start()
+
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    bb = np.asarray([0.05, -0.1, 1.2], np.float32)
+    init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+
+    sock = None
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=240)
+            break
+        except OSError:
+            time.sleep(0.1)
+    assert sock is not None, "server CLI never opened its port"
+    sock.settimeout(240)
+    sock.sendall(P.encode_image(robot_id, 0, bb, init_trans, img))
+    msg = P.read_message_sync(sock)
+    sock.close()
+    assert msg is not None and msg[0] == P.MSG_RESULT
+    fid, served = P.decode_step(msg[1])
+    assert fid == 0 and served.shape == (C.WIRE_NUM_FLOATS,)
+    assert np.isfinite(served).all()
+
+    # expected: the degraded 3-round path on the weights we saved
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    reg = StagedRegressor(
+        variables,
+        sep_view=(robot_id - 1) if family == "copenet_twoview_sep" else None,
+    )
+    st = reg.step1(S._normalize(img)[None], bb[None], init_trans[None])
+    for _ in range(2):
+        art, shape = reg._mean_art[0], reg._mean_shape[0]
+        st = reg.step23(st, bb[None], art[None], shape[None])
+    np.testing.assert_allclose(served, state_to_wire(st), atol=1e-5)
