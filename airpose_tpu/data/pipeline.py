@@ -162,6 +162,7 @@ class Prefetcher:
         self._threads = []
         self._live_workers = 0
         self._lock = threading.Lock()
+        self._stop = False
         if iterator is not None:
             self._start([lambda _wid: None], iterator=iterator)
 
@@ -173,6 +174,10 @@ class Prefetcher:
         self._start([make_batch] * num_workers, iterator=None)
         return self
 
+    class _Stopped(Exception):
+        """Internal: a sibling worker failed (or close() ran); exit without
+        overwriting the recorded error."""
+
     def _put(self, batch):
         if self._sharding is not None:
             batch = jax.tree.map(
@@ -180,7 +185,18 @@ class Prefetcher:
             )
         else:
             batch = jax.tree.map(jnp.asarray, batch)
-        self._q.put(batch)
+        # Bounded put that respects the stop flag: after one worker errors
+        # (or close()), surviving workers must not block forever on a full
+        # queue the consumer stopped draining — they would leak, together
+        # with their queued batches, for the process lifetime.
+        while True:
+            if self._stop:
+                raise Prefetcher._Stopped()
+            try:
+                self._q.put(batch, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     def _start(self, factories, iterator):
         self._live_workers = len(factories)
@@ -189,6 +205,8 @@ class Prefetcher:
             try:
                 for batch in iterator:
                     self._put(batch)
+            except Prefetcher._Stopped:
+                pass
             except BaseException as e:  # surfaced in __next__, not swallowed
                 self._error = e
             finally:
@@ -198,6 +216,8 @@ class Prefetcher:
             try:
                 while True:
                     self._put(make_batch(wid))
+            except Prefetcher._Stopped:
+                pass
             except BaseException as e:
                 self._error = e
             finally:
@@ -215,16 +235,42 @@ class Prefetcher:
             self._live_workers -= 1
             # the sentinel goes in when ANY worker errors (so the consumer
             # learns promptly while siblings still produce) or when all
-            # workers drained cleanly
+            # workers drained cleanly; an error also stops the siblings —
+            # the consumer is about to raise and will never drain them
+            if self._error is not None:
+                self._stop = True
             if self._live_workers == 0 or self._error is not None:
-                self._q.put(self._done)
+                # best-effort: with the queue full the sentinel is dropped
+                # rather than blocking an exiting worker; __next__ also
+                # polls worker/error state so nothing is lost
+                try:
+                    self._q.put_nowait(self._done)
+                except queue.Full:
+                    pass
+
+    def close(self):
+        """Stop all workers and let them exit promptly (they observe the
+        flag on their next bounded put). Safe to call more than once; the
+        consumer can keep draining already-queued batches."""
+        self._stop = True
 
     def __iter__(self):
         return self
 
     def __next__(self):
         while True:
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=0.5)
+            except queue.Empty:
+                # sentinel may have been dropped against a full queue that
+                # has since drained — fall back to polling worker state
+                with self._lock:
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "Prefetcher worker failed") from self._error
+                    if self._live_workers == 0 and self._q.empty():
+                        raise StopIteration
+                continue
             if item is not self._done:
                 return item
             if self._error is not None:

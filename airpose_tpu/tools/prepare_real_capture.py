@@ -70,19 +70,32 @@ def _iter_source_frames(source: str, stride: int = 1, downsample: int = 1):
 def calibrate_machine(machine_dir: str, calib_source: str,
                       board: Tuple[int, int] = (9, 6),
                       square_size: float = 0.025,
-                      calib_stride: int = 50) -> Tuple[np.ndarray, np.ndarray]:
+                      calib_stride: int = 50,
+                      downsample: int = 1) -> Tuple[np.ndarray, np.ndarray]:
     """Chessboard-calibrate from a calib video/dir and write
     camera_calib.yml (ref prepare_copenet_dataset.py:19-54). Returns
-    (K, dist)."""
+    (K, dist).
+
+    Calibration always runs on FULL-resolution calib frames (sub-pixel
+    corner accuracy); with ``downsample`` > 1 the saved K is rescaled to
+    the downsampled capture geometry (fx, fy, cx, cy ÷ N) so the yml, the
+    ArUco extrinsics, and the images/ frames stay mutually consistent —
+    the distortion coefficients act on normalized coordinates and are
+    scale-invariant."""
     frames = list(_iter_source_frames(calib_source, stride=calib_stride))
     if not frames:
         raise ValueError(f"no calibration frames in {calib_source}")
     K, dist, rms = calibrate_chessboard(frames, board=board,
                                         square_size=square_size)
+    K = np.asarray(K, np.float64).copy()
+    if downsample > 1:
+        K[:2] /= downsample
     os.makedirs(machine_dir, exist_ok=True)
     save_calib_yml(osp.join(machine_dir, "camera_calib.yml"), K, dist)
-    print(f"calibrated: rms {rms:.3f}px over {len(frames)} frames")
-    return np.asarray(K), np.asarray(dist)
+    print(f"calibrated: rms {rms:.3f}px over {len(frames)} frames"
+          + (f" (K rescaled for downsample {downsample})"
+             if downsample > 1 else ""))
+    return K, np.asarray(dist)
 
 
 def extract_capture(machine_dir: str, capture_sources: Sequence[str],
@@ -143,8 +156,11 @@ def prepare_machine(machine_dir: str,
 
     if calib_source:
         K, dist = calibrate_machine(machine_dir, calib_source, board,
-                                    square_size, calib_stride)
+                                    square_size, calib_stride,
+                                    downsample=downsample)
     else:
+        # a reused yml is trusted as-is: it must already describe the
+        # geometry of the frames in images/ (incl. any prior downsample)
         yml = osp.join(machine_dir, "camera_calib.yml")
         fs = cv2.FileStorage(yml, cv2.FILE_STORAGE_READ)
         K = fs.getNode("K").mat()

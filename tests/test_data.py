@@ -419,3 +419,38 @@ def test_joint_tables_invariants():
     # selector sanity: J17/J14 index into the 24-joint GT set
     assert max(J.J24_TO_J17) < 24 and len(J.J24_TO_J14) == 14
     assert max(J.H36M_TO_J17) < 17
+
+
+def test_prefetcher_siblings_exit_after_error_and_close():
+    """After one worker errors, the surviving workers must exit instead of
+    blocking forever on the bounded queue (they observe the stop flag on
+    their next put); close() does the same for a healthy prefetcher."""
+    import time
+
+    import pytest as _pytest
+
+    from airpose_tpu.data.pipeline import Prefetcher
+
+    def make_batch(wid):
+        if wid == 0:
+            time.sleep(0.05)
+            raise ValueError("corrupt sample")
+        return {"x": np.ones(2)}  # floods the bounded queue immediately
+
+    it = Prefetcher.from_factory(make_batch, num_workers=3, depth=3)
+    with _pytest.raises(RuntimeError, match="Prefetcher worker failed"):
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            next(it)
+    for t in it._threads:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in it._threads), \
+        "surviving workers leaked after a sibling's error"
+
+    healthy = Prefetcher.from_factory(
+        lambda wid: {"x": np.ones(2)}, num_workers=2, depth=2)
+    next(healthy)
+    healthy.close()
+    for t in healthy._threads:
+        t.join(timeout=5.0)
+    assert not any(t.is_alive() for t in healthy._threads)

@@ -94,6 +94,52 @@ def test_aruco_generate_detect_pose():
     assert abs(tvec[0]) < 0.2 * tvec[2] and abs(tvec[1]) < 0.2 * tvec[2]
 
 
+def _write_chessboard_calib_frames(tmp_path, K_true, square_m=0.05, n=6):
+    """Warped-chessboard calib frames: 10x7 squares = 9x6 inner corners,
+    40px squares, white border so warped edges don't fake corners."""
+    import cv2
+
+    sq = 40
+    tex = np.full(((7 + 2) * sq, (10 + 2) * sq), 255, np.uint8)
+    for r in range(7):
+        for c in range(10):
+            if (r + c) % 2 == 0:
+                tex[(r + 1) * sq:(r + 2) * sq,
+                    (c + 1) * sq:(c + 2) * sq] = 0
+
+    calib_dir = tmp_path / "calib_frames"
+    os.makedirs(calib_dir, exist_ok=True)
+    for k in range(n):
+        # plane point (x,y,0) in meters ↦ texture pixel; pose varies per k
+        rvec = np.asarray([0.25 * np.sin(k), 0.25 * np.cos(1.3 * k), 0.1 * k])
+        tvec = np.asarray([-0.25 + 0.02 * k, -0.18, 1.2 + 0.1 * k])
+        plane = np.asarray(
+            [[0, 0, 0], [10 * square_m, 0, 0],
+             [10 * square_m, 7 * square_m, 0], [0, 7 * square_m, 0]],
+            np.float32)
+        uv, _ = cv2.projectPoints(plane, rvec, tvec, K_true, np.zeros(5))
+        src = np.asarray([[sq, sq], [11 * sq, sq], [11 * sq, 8 * sq],
+                          [sq, 8 * sq]], np.float32)
+        H, _ = cv2.findHomography(src, uv.reshape(-1, 2))
+        frame = cv2.warpPerspective(tex, H, (640, 480), borderValue=255)
+        cv2.imwrite(str(calib_dir / f"{k:03d}.png"), frame)
+    return calib_dir
+
+
+def _write_aruco_capture_frames(tmp_path, generate_aruco_marker, n=4):
+    import cv2
+
+    capture_dir = tmp_path / "capture_frames"
+    os.makedirs(capture_dir, exist_ok=True)
+    marker = generate_aruco_marker(0, 200)
+    for k in range(n):
+        frame = np.full((480, 640), 255, np.uint8)
+        x = 200 + 10 * k
+        frame[140:340, x:x + 200] = marker
+        cv2.imwrite(str(capture_dir / f"{k:03d}.jpg"), frame)
+    return capture_dir
+
+
 def test_prepare_real_capture_driver(tmp_path, rng):
     """The per-machine preparation CLI end to end on synthetic imagery:
     warped-chessboard calib frames → camera_calib.yml with K near truth;
@@ -106,44 +152,9 @@ def test_prepare_real_capture_driver(tmp_path, rng):
     from airpose_tpu.tools.prepare_real_capture import main
 
     K_true = np.asarray([[600.0, 0, 320], [0, 610.0, 240], [0, 0, 1]])
-
-    # chessboard texture: 10x7 squares = 9x6 inner corners, 40px squares,
-    # white border so warped edges don't fake corners
-    sq = 40
-    tex = np.full(((7 + 2) * sq, (10 + 2) * sq), 255, np.uint8)
-    for r in range(7):
-        for c in range(10):
-            if (r + c) % 2 == 0:
-                tex[(r + 1) * sq:(r + 2) * sq,
-                    (c + 1) * sq:(c + 2) * sq] = 0
-
-    calib_dir = tmp_path / "calib_frames"
-    os.makedirs(calib_dir)
     square_m = 0.05
-    for k in range(6):
-        # plane point (x,y,0) in meters ↦ texture pixel; pose varies per k
-        rvec = np.asarray([0.25 * np.sin(k), 0.25 * np.cos(1.3 * k), 0.1 * k])
-        tvec = np.asarray([-0.25 + 0.02 * k, -0.18, 1.2 + 0.1 * k])
-        plane = np.asarray(
-            [[0, 0, 0], [10 * square_m, 0, 0],
-             [10 * square_m, 7 * square_m, 0], [0, 7 * square_m, 0]],
-            np.float32)
-        uv, _ = cv2.projectPoints(plane, rvec, tvec, K_true, np.zeros(5))
-        src = np.asarray([[sq, sq], [11 * sq, sq], [11 * sq, 8 * sq],
-                          [sq, 8 * sq]], np.float32)
-        H, _ = cv2.findHomography(src, uv.reshape(-1, 2))
-        frame = cv2.warpPerspective(tex, H, (640, 480),
-                                    borderValue=255)
-        cv2.imwrite(str(calib_dir / f"{k:03d}.png"), frame)
-
-    capture_dir = tmp_path / "capture_frames"
-    os.makedirs(capture_dir)
-    marker = generate_aruco_marker(0, 200)
-    for k in range(4):
-        frame = np.full((480, 640), 255, np.uint8)
-        x = 200 + 10 * k
-        frame[140:340, x:x + 200] = marker
-        cv2.imwrite(str(capture_dir / f"{k:03d}.jpg"), frame)
+    calib_dir = _write_chessboard_calib_frames(tmp_path, K_true, square_m)
+    capture_dir = _write_aruco_capture_frames(tmp_path, generate_aruco_marker)
 
     machine = str(tmp_path / "machine_1")
     main([
@@ -183,3 +194,40 @@ def test_calibration_from_synthetic_points(rng):
     assert rms < 1.0
     np.testing.assert_allclose(K[0, 0], 800.0, rtol=0.05)
     np.testing.assert_allclose(K[1, 1], 820.0, rtol=0.05)
+
+
+def test_prepare_real_capture_downsample_scales_K(tmp_path, rng):
+    """--downsample N: calibration runs on full-res calib frames but the
+    saved K must describe the DOWNSAMPLED capture geometry (fx,fy,cx,cy ÷ N)
+    and the ArUco extrinsics must be solved with that K — otherwise the
+    marker poses (and everything CopenetRealDataset derives from them) are
+    silently off by factor N. The check: the marker's solved distance must
+    match between a full-res and a downsample-2 preparation."""
+    from airpose_tpu.data.real import load_calib_yml
+    from airpose_tpu.tools.calibration import generate_aruco_marker
+    from airpose_tpu.tools.prepare_real_capture import main
+
+    K_true = np.asarray([[600.0, 0, 320], [0, 610.0, 240], [0, 0, 1]])
+    square_m = 0.05
+    calib_dir = _write_chessboard_calib_frames(tmp_path, K_true, square_m)
+    capture_dir = _write_aruco_capture_frames(tmp_path, generate_aruco_marker)
+
+    tvecs = {}
+    for ds in (1, 2):
+        machine = str(tmp_path / f"machine_ds{ds}")
+        main([
+            "--machine_dir", machine, "--calib", str(calib_dir),
+            "--capture", str(capture_dir), "--calib_stride", "1",
+            "--square_size", str(square_m), "--marker_length", "0.5",
+            "--downsample", str(ds),
+        ])
+        K = load_calib_yml(os.path.join(machine, "camera_calib.yml"))
+        np.testing.assert_allclose(K[0, 0], 600.0 / ds, rtol=0.15)
+        np.testing.assert_allclose(K[0, 2], 320.0 / ds, rtol=0.15)
+        poses = pickle.load(open(
+            os.path.join(machine, "markerposes_corrected_all.pkl"), "rb"))
+        tvecs[ds] = np.asarray(poses["000000"]["0"]["tvec"]).ravel()
+
+    # pre-fix, the downsampled solve ran with an unscaled K: distance 2x off
+    np.testing.assert_allclose(
+        np.linalg.norm(tvecs[2]), np.linalg.norm(tvecs[1]), rtol=0.1)
