@@ -51,6 +51,10 @@ class TrainConfig:
     summary_steps: int = 500
     checkpoint_steps: int = 10000
     train_reg_only: bool = False     # freeze all but fc/dec heads (real pkg)
+    qat: bool = False                # STE fake-quant of trunk convs in the
+                                     # train forward (int8 deployment
+                                     # recovery path — ops/qat.py)
+    qat_levels: float = 127.0        # quant grid (127 = int8)
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     real_loss: RealLossWeights = dataclasses.field(default_factory=RealLossWeights)
     # TPU execution

@@ -106,6 +106,16 @@ class AerialPeopleDataset:
         }
         return self._gt_cache
 
+    def canonical_gt(self, idx) -> Dict[str, np.ndarray]:
+        """Rows of the precomputed canonical-GT cache for a batch index
+        list — the public accessor the trainer/eval batch builders attach
+        to host batches (requires `precompute_canonical_gt` first)."""
+        if self._gt_cache is None:
+            raise RuntimeError(
+                "call precompute_canonical_gt(...) before canonical_gt")
+        idx = np.asarray(idx)
+        return {k: v[idx] for k, v in self._gt_cache.items()}
+
     def _load_decoded(self, idx: int, decode_images: bool):
         """Load one sample pkl + decode its two view images (RGB) — the
         per-sample IO/JPEG work parallelized across `host_batch`'s thread

@@ -53,12 +53,33 @@ def outputs_to_ba_init(outputs: List[Dict], vposer_params):
 # batch sources
 # ---------------------------------------------------------------------------
 
+def _padded_ranges(n: int, batch_size: int):
+    """Cover ALL n frames in fixed-shape batches: the final partial batch
+    is padded by repeating the last frame and tagged with its valid count.
+    Static shapes keep XLA from recompiling for the tail, and nothing is
+    silently dropped (the reference evaluates complete DataLoaders,
+    ref copenet_synth_res_compile.py:64 — drop_last is train-only there).
+    Yields (index list of len batch_size, n_valid)."""
+    for s in range(0, n, batch_size):
+        k = min(batch_size, n - s)
+        yield list(range(s, s + k)) + [n - 1] * (batch_size - k), k
+
+
+def _pop_valid(batch: Dict) -> int:
+    """Valid-row count of a possibly tail-padded eval batch (removed from
+    the dict so jitted step fns never see the tag)."""
+    return int(batch.pop("_valid", batch["images"].shape[0]))
+
+
 def synthetic_batches(data: Dict, batch_size: int) -> Iterable[Dict]:
-    from ..data import batch_slice
+    import jax.numpy as jnp
 
     n = data["images"].shape[0]
-    for s in range(0, n - batch_size + 1, batch_size):
-        yield batch_slice(data, s, batch_size)
+    for idx, k in _padded_ranges(n, batch_size):
+        b = {key: jnp.asarray(np.asarray(v)[np.asarray(idx)])
+             for key, v in data.items()}
+        b["_valid"] = k
+        yield b
 
 
 def aerialpeople_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
@@ -72,13 +93,15 @@ def aerialpeople_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[D
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     n = len(ds)
-    for s in range(0, n - batch_size + 1, batch_size):
-        idx = list(range(s, s + batch_size))
+    for idx, k in _padded_ranges(n, batch_size):
         hb = ds.host_batch(idx, rng_np, swap_cams=False)
-        hb["gt_vertices"] = ds._gt_cache["vertices"][idx]
-        hb["gt_joints"] = ds._gt_cache["joints"][idx]
+        gt = ds.canonical_gt(idx)
+        hb["gt_vertices"] = gt["vertices"]
+        hb["gt_joints"] = gt["joints"]
         hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
-        yield finish_batch(hb, key, deterministic=True, out_size=out_size)
+        b = finish_batch(hb, key, deterministic=True, out_size=out_size)
+        b["_valid"] = k
+        yield b
 
 
 def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
@@ -104,12 +127,13 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
         pair = pair[::-1]
     focal = jnp.asarray(pair, dtype=jnp.float32)
     n = len(ds)
-    for s in range(0, n - batch_size + 1, batch_size):
-        hb = ds.host_batch(list(range(s, s + batch_size)), rng_np)
+    for idx, k in _padded_ranges(n, batch_size):
+        hb = ds.host_batch(idx, rng_np)
         b = finish_batch(hb, key, deterministic=True, margin=0.0,
                          out_size=out_size)
         b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
         b["focal"] = focal
+        b["_valid"] = k
         yield b
 
 
@@ -118,13 +142,14 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
 # ---------------------------------------------------------------------------
 
 def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
-                    save_full=False, int8=False):
+                    save_full=False, int8=False, int8_calib_n=8):
     """Eval every batch, return (outputs list, metrics dict).
 
     ``int8`` evaluates the int8 PTQ serving configuration instead of the
     bf16 trunk (ops/int8_trunk.py) — THE tool for measuring what
     quantized deployment costs in MPJPE/PA-MPJPE on a given dataset.
-    Calibration uses the first eval batch's images."""
+    Activation calibration uses the first ``int8_calib_n`` eval images
+    (clip rates printed — see _int8_shim)."""
     import jax
     import jax.numpy as jnp
 
@@ -134,7 +159,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     from ..train.state import make_optimizer
 
     if int8:
-        model, batches = _int8_shim(model, state, batches)
+        model, batches = _int8_shim(model, state, batches, int8_calib_n)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
@@ -143,6 +168,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     all_pred_rotmat, all_pred_betas, all_pred_trans = [], [], []
     gt_pose_l, gt_orient_l, gt_betas_l, gt_trans_l = [], [], [], []
     for batch in batches:
+        valid = _pop_valid(batch)
         B = int(batch["images"].shape[0])
         _, preds = eval_step(state, batch)
         pred_rotmat = np.asarray(preds["pred_rotmat"])
@@ -183,15 +209,17 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
             verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
             out["pred_vertices_cam0"] = verts[:, 0] + pred_trans[:, 0, None]
             out["pred_vertices_cam1"] = verts[:, 1] + pred_trans[:, 1, None]
-        outputs.append({"output": out})
+        # padded tail rows are duplicates of the last frame — keep them out
+        # of the outputs pkl and the metric accumulators
+        outputs.append({"output": {k: v[:valid] for k, v in out.items()}})
 
-        all_pred_rotmat.append(pred_rotmat)
-        all_pred_betas.append(pred_betas)
-        all_pred_trans.append(pred_trans)
-        gt_pose_l.append(gt_pose)
-        gt_orient_l.append(gt_orient)
-        gt_betas_l.append(np.asarray(batch["gt_betas"]))
-        gt_trans_l.append(np.asarray(batch["gt_trans"]))
+        all_pred_rotmat.append(pred_rotmat[:valid])
+        all_pred_betas.append(pred_betas[:valid])
+        all_pred_trans.append(pred_trans[:valid])
+        gt_pose_l.append(gt_pose[:valid])
+        gt_orient_l.append(gt_orient[:valid])
+        gt_betas_l.append(np.asarray(batch["gt_betas"])[:valid])
+        gt_trans_l.append(np.asarray(batch["gt_trans"])[:valid])
 
     pred_rotmat = np.concatenate(all_pred_rotmat)
     pred_betas = np.concatenate(all_pred_betas)
@@ -207,9 +235,13 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     return outputs, {k: float(v) for k, v in metrics.items()}
 
 
-def _int8_shim(model, state, batches):
-    """Peek the first batch for calibration and wrap ``model`` in the
-    Int8Inference shim (shared by all compile passes' --int8 modes)."""
+def _int8_shim(model, state, batches, calib_n: int = 8):
+    """Peek enough leading batches to collect ``calib_n`` calibration
+    images, wrap ``model`` in the Int8Inference shim (shared by all
+    compile passes' --int8 modes), and print the activation clip rates of
+    the peeked images under the calibrated scales — the calibration
+    adequacy signal (near 0 ⇒ the sample covered the activation range;
+    see ops/int8_trunk.calibration_clip_rates)."""
     import itertools
 
     import jax.numpy as jnp
@@ -217,18 +249,35 @@ def _int8_shim(model, state, batches):
     from ..ops import Int8Inference
 
     batches = iter(batches)
-    first = next(batches)
-    imgs = jnp.asarray(first["images"])
-    if imgs.ndim == 5:  # canonical (B, 2, H, W, 3) batches: fold the views
-        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+    peeked, imgs = [], []
+    n_imgs = 0
+    while n_imgs < calib_n:
+        try:
+            b = next(batches)
+        except StopIteration:
+            break
+        peeked.append(b)
+        im = jnp.asarray(b["images"])
+        if im.ndim == 5:  # canonical (B, 2, H, W, 3) batches: fold views
+            im = im.reshape((-1,) + im.shape[2:])
+        imgs.append(im)
+        n_imgs += im.shape[0]
+    imgs = jnp.concatenate(imgs)
     model = Int8Inference(
         model, {"params": state.params, "batch_stats": state.batch_stats},
-        imgs[:8])
-    return model, itertools.chain([first], batches)
+        imgs[:calib_n])
+    sample = jnp.asarray(peeked[-1]["images"])
+    rates = model.clip_report(sample)
+    vals = np.asarray(list(rates.values()))
+    worst = max(rates, key=rates.get)
+    print(f"int8 calibration: {min(n_imgs, calib_n)} images; clip rate "
+          f"mean {vals.mean():.2e}, max {vals.max():.2e} ({worst}) over "
+          f"{len(rates)} tensors", flush=True)
+    return model, itertools.chain(peeked, batches)
 
 
 def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
-                       cfg, family, int8=False):
+                       cfg, family, int8=False, int8_calib_n=8):
     """Eval the hmr / muhmr / copenet_singleview families: outputs pkl in
     the reference single-view format (pred_angles, pred_smpltrans via the
     weak-cam reprojection for the weak families — ref hmr.py:178-193,
@@ -246,7 +295,7 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
     from ..train.state import make_optimizer
 
     if int8:
-        model, batches = _int8_shim(model, state, batches)
+        model, batches = _int8_shim(model, state, batches, int8_calib_n)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
@@ -254,6 +303,7 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
     outputs = []
     rms, betas_all, trans_all, gt_trans_all = [], [], [], []
     for batch in batches:
+        valid = _pop_valid(batch)
         B = int(batch["images"].shape[0])
         _, out = eval_step(state, batch)
         if family == "copenet_singleview":
@@ -280,16 +330,16 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
         gt_pose = np.asarray(batch["gt_pose_rotmat"])
         gt_rm = np.concatenate([gt_orient[:, None], gt_pose], axis=1)
         outputs.append({"output": {
-            "pred_angles": angles,
-            "pred_betas": betas,
-            "pred_smpltrans": trans,
-            "gt_angles": np.asarray(rotmat_to_aa(jnp.asarray(gt_rm))),
-            "gt_smpltrans": np.asarray(batch["gt_trans"])[:, 0],
+            "pred_angles": angles[:valid],
+            "pred_betas": betas[:valid],
+            "pred_smpltrans": trans[:valid],
+            "gt_angles": np.asarray(rotmat_to_aa(jnp.asarray(gt_rm)))[:valid],
+            "gt_smpltrans": np.asarray(batch["gt_trans"])[:valid, 0],
         }})
-        rms.append((rotmat, gt_rm))
-        betas_all.append(betas)
-        trans_all.append(trans)
-        gt_trans_all.append(np.asarray(batch["gt_trans"])[:, 0])
+        rms.append((rotmat[:valid], gt_rm[:valid]))
+        betas_all.append(betas[:valid])
+        trans_all.append(trans[:valid])
+        gt_trans_all.append(np.asarray(batch["gt_trans"])[:valid, 0])
 
     pred_rm = np.concatenate([r[0] for r in rms])
     gt_rm = np.concatenate([r[1] for r in rms])
@@ -339,7 +389,7 @@ def robust_crossview_consistency(
 def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
                          batch_size: int, cfg, save_full=False,
                          err_idcs: Optional[np.ndarray] = None,
-                         out_size: int = 224, int8=False):
+                         out_size: int = 224, int8=False, int8_calib_n=8):
     """Real-data (self-supervised regime) compile: outputs pkl with the raw
     135-d pose state per view (the benchtest interchange,
     ref copenet_real_res_compile.py:264-276) + the robust cross-view
@@ -354,7 +404,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
-        model, batches = _int8_shim(model, state, batches)
+        model, batches = _int8_shim(model, state, batches, int8_calib_n)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_twoview_step_fns(
@@ -367,9 +417,13 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     from ..geometry.rotations import rot6d_to_rotmat
 
     for batch in batches:
+        valid = _pop_valid(batch)
         B = int(batch["images"].shape[0])
         metrics, out = eval_step(state, batch)
-        losses.append(float(metrics["loss"]))
+        # the padded tail batch's loss over-weights its last real frame by
+        # the pad count; weight batches by valid rows so the reported mean
+        # loss stays a per-frame mean
+        losses.append((float(metrics["loss"]), valid))
         pose = np.asarray(out.pose)
         betas = np.asarray(out.betas)
         trans = pose[..., :3] / cfg.trans_scale
@@ -395,11 +449,11 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
             verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
             rec["pred_vertices_cam0"] = verts[:, 0] + trans[:, 0, None]
             rec["pred_vertices_cam1"] = verts[:, 1] + trans[:, 1, None]
-        outputs.append({"output": rec})
-        all_rotmat.append(rotmat)
-        all_betas.append(betas)
-        all_trans.append(trans)
-        all_extr.append(np.asarray(batch["extr"]))
+        outputs.append({"output": {k: v[:valid] for k, v in rec.items()}})
+        all_rotmat.append(rotmat[:valid])
+        all_betas.append(betas[:valid])
+        all_trans.append(trans[:valid])
+        all_extr.append(np.asarray(batch["extr"])[:valid])
 
     pred_rotmat = np.concatenate(all_rotmat)
     pred_betas = np.concatenate(all_betas)
@@ -415,7 +469,8 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
         err_idcs = ~((conf[0] == 0) & (conf[1] == 0))
     err_idcs = np.asarray(err_idcs)[:N]
     metrics = {
-        "loss": float(np.mean(losses)),
+        "loss": float(np.average([l for l, _ in losses],
+                                 weights=[w for _, w in losses])),
         "crossview_consistency": robust_crossview_consistency(
             smplx_params, pred_rotmat, pred_betas, extr, err_idcs
         ),
@@ -426,7 +481,8 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 
 def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
                             batch_size: int, cfg, cam: int,
-                            out_size: int = 224, int8=False):
+                            out_size: int = 224, int8=False,
+                            int8_calib_n=8):
     """Real-data Baseline (hmr) compile for ONE camera — the reference
     evaluates two hmr nets pinned to cam0/cam1 via ``first_cam`` and writes
     one outputs pkl per camera (ref scripts/hmr_real_res_compile.py; the
@@ -444,7 +500,7 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
 
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
-        model, batches = _int8_shim(model, state, batches)
+        model, batches = _int8_shim(model, state, batches, int8_calib_n)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_singleview_step_fns(
@@ -454,9 +510,10 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
 
     outputs, losses = [], []
     for batch in batches:
+        valid = _pop_valid(batch)
         B = int(batch["images"].shape[0])
         metrics, out = eval_step(state, batch)
-        losses.append(float(metrics["loss"]))
+        losses.append((float(metrics["loss"]), valid))
         rotmat = np.asarray(
             rot6d_to_rotmat(jnp.asarray(out.pose6d).reshape(B, 22, 6))
         )
@@ -469,12 +526,14 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
             jnp.asarray(batch["intr"][:, 0]), (5000.0, 5000.0), cfg.img_res,
         ))
         outputs.append({"output": {
-            "pred_angles": np.asarray(rotmat_to_aa(jnp.asarray(rotmat))),
-            "pred_betas": np.asarray(out.betas),
-            "pred_smpltrans": trans,
-            "pred_cam": np.asarray(out.cam),
+            "pred_angles": np.asarray(rotmat_to_aa(jnp.asarray(rotmat)))[:valid],
+            "pred_betas": np.asarray(out.betas)[:valid],
+            "pred_smpltrans": trans[:valid],
+            "pred_cam": np.asarray(out.cam)[:valid],
         }})
-    return outputs, {"loss": float(np.mean(losses)), "camera": float(cam),
+    return outputs, {"loss": float(np.average([l for l, _ in losses],
+                                              weights=[w for _, w in losses])),
+                     "camera": float(cam),
                      "focal_x": float(focal_full[0])}
 
 
@@ -505,6 +564,11 @@ def main(argv=None):
                         "(any model family, synthetic/on-disk/real "
                         "paths): measures the quantization cost on the "
                         "same metrics")
+    p.add_argument("--int8_calib_n", type=int, default=8,
+                   help="activation-calibration sample size for --int8; "
+                        "the printed clip rates tell you whether it "
+                        "covered the data's activation range (raise on "
+                        "captures with exposure/contrast swings)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--vposer_ckpt", default=None,
@@ -632,6 +696,7 @@ def main(argv=None):
                     outputs, metrics = compile_real_singleview(
                         state, model, smplx_params, vposer_params, ds, B,
                         cfg, cam, out_size=args.img_res, int8=args.int8,
+                        int8_calib_n=args.int8_calib_n,
                     )
                     cam_splits.append(outputs)
                     metrics_by_split[f"{split}_cam{cam}"] = metrics
@@ -657,6 +722,7 @@ def main(argv=None):
                 state, model, smplx_params, vposer_params, ds, B, cfg,
                 save_full=args.save_full, err_idcs=err,
                 out_size=args.img_res, int8=args.int8,
+                int8_calib_n=args.int8_calib_n,
             )
             per_split.append(outputs)
             metrics_by_split[split] = metrics
@@ -693,11 +759,13 @@ def main(argv=None):
                 outputs, metrics = compile_twoview(
                     state, model, smplx_params, splits[split], cfg,
                     save_full=args.save_full, int8=args.int8,
+                    int8_calib_n=args.int8_calib_n,
                 )
             else:
                 outputs, metrics = compile_singleview(
                     state, model, smplx_params, splits[split], cfg,
                     args.model, int8=args.int8,
+                    int8_calib_n=args.int8_calib_n,
                 )
             per_split.append(outputs)
             metrics_by_split[split] = metrics

@@ -53,14 +53,22 @@ def quantize_weight(kernel: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.asarray(q), jnp.asarray(scale, jnp.float32)
 
 
-def _quantize_act(x: jnp.ndarray, s=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def _quantize_act(x: jnp.ndarray, s=None, clip_collect=None,
+                  name=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-tensor symmetric int8. With a STATIC (calibrated) scale the
     round/clip/cast fuses into the producing op's epilogue; the dynamic
     fallback (s=None) adds a full reduce + rewrite pass per tensor, which
-    measured 2× SLOWER end-to-end than bf16 — always calibrate for speed."""
+    measured 2× SLOWER end-to-end than bf16 — always calibrate for speed.
+
+    ``clip_collect`` (diagnostics only, never on the hot path) records the
+    fraction of values saturating at ±127·s for this tensor — the
+    calibration-sensitivity signal (`calibration_clip_rates`)."""
     x = x.astype(jnp.float32)  # quantize math in f32 (bf16 ulp @127 ≈ 0.5)
     if s is None:
         s = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
+    elif clip_collect is not None:
+        clip_collect[name] = jnp.mean(
+            (jnp.abs(x) > 127.0 * s).astype(jnp.float32))
     q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
     return q, s
 
@@ -74,8 +82,9 @@ def _pad_for(w) -> tuple:
 
 def _qconv(x: jnp.ndarray, wq: jnp.ndarray, wscale: jnp.ndarray,
            bias: jnp.ndarray, stride: int = 1,
-           act_scale=None, collect=None, name=None) -> jnp.ndarray:
-    xq, xs = _quantize_act(x, act_scale)
+           act_scale=None, collect=None, clip_collect=None,
+           name=None) -> jnp.ndarray:
+    xq, xs = _quantize_act(x, act_scale, clip_collect=clip_collect, name=name)
     if collect is not None:
         collect[name] = xs
     y = jax.lax.conv_general_dilated(
@@ -149,6 +158,7 @@ def _fconv(x: jnp.ndarray, wf: jnp.ndarray, bias: jnp.ndarray,
 def resnet50_int8_infer(qparams: Dict, x: jnp.ndarray,
                         act_scales: Dict = None,
                         _collect: Dict = None,
+                        _clip_collect: Dict = None,
                         int8_stages=(1, 2, 3, 4)) -> jnp.ndarray:
     """(B, 224, 224, 3) f32 → (B, 2048) f32 GAP feature, int8 conv path.
 
@@ -186,7 +196,8 @@ def resnet50_int8_infer(qparams: Dict, x: jnp.ndarray,
                 res = (_qconv(h, q["proj"]["wq"], q["proj"]["ws"],
                               q["proj"]["b"], stride=stride,
                               act_scale=scale(f"{bname}/proj"),
-                              collect=_collect, name=f"{bname}/proj")
+                              collect=_collect, clip_collect=_clip_collect,
+                              name=f"{bname}/proj")
                        if int8 else
                        _fconv(h, q["proj"]["wf"], q["proj"]["b"], stride))
             else:
@@ -196,16 +207,19 @@ def resnet50_int8_infer(qparams: Dict, x: jnp.ndarray,
                     _qconv(h, q["conv1"]["wq"], q["conv1"]["ws"],
                            q["conv1"]["b"],
                            act_scale=scale(f"{bname}/conv1"),
-                           collect=_collect, name=f"{bname}/conv1"))
+                           collect=_collect, clip_collect=_clip_collect,
+                           name=f"{bname}/conv1"))
                 y = jax.nn.relu(
                     _qconv(y, q["conv2"]["wq"], q["conv2"]["ws"],
                            q["conv2"]["b"], stride=stride,
                            act_scale=scale(f"{bname}/conv2"),
-                           collect=_collect, name=f"{bname}/conv2"))
+                           collect=_collect, clip_collect=_clip_collect,
+                           name=f"{bname}/conv2"))
                 y = _qconv(y, q["conv3"]["wq"], q["conv3"]["ws"],
                            q["conv3"]["b"],
                            act_scale=scale(f"{bname}/conv3"),
-                           collect=_collect, name=f"{bname}/conv3")
+                           collect=_collect, clip_collect=_clip_collect,
+                           name=f"{bname}/conv3")
             else:
                 y = jax.nn.relu(_fconv(h, q["conv1"]["wf"], q["conv1"]["b"]))
                 y = jax.nn.relu(_fconv(y, q["conv2"]["wf"], q["conv2"]["b"],
@@ -286,6 +300,24 @@ class Int8Inference:
             variables, self._features(images), *args,
             method=type(self.model).from_features, iters=iters, **kwargs)
 
+    def clip_report(self, images: jnp.ndarray) -> Dict:
+        """Per-tensor activation clip fractions of ``images`` under this
+        shim's calibrated scales (`calibration_clip_rates`) — merged over
+        trunks for _sep models. Diagnostics for calibration adequacy."""
+        out: Dict = {}
+        if self.sep:
+            for v in (0, 1):
+                rates = calibration_clip_rates(
+                    self.qparams[v], self.act_scales[v], images[:, v],
+                    int8_stages=self.int8_stages)
+                out.update({f"trunk{v}/{k}": r for k, r in rates.items()})
+            return out
+        if images.ndim == 5:
+            images = images.reshape((-1,) + images.shape[2:])
+        return calibration_clip_rates(
+            self.qparams[0], self.act_scales[0], images,
+            int8_stages=self.int8_stages)
+
 
 # original (two-view-only) name, kept as an alias
 Int8TwoView = Int8Inference
@@ -294,7 +326,29 @@ Int8TwoView = Int8Inference
 def calibrate_act_scales(qparams: Dict, sample_x: jnp.ndarray) -> Dict:
     """One forward over a representative batch with dynamic quantization,
     recording every conv input's per-tensor scale. The returned table makes
-    subsequent `resnet50_int8_infer` calls fully static (no reduces)."""
+    subsequent `resnet50_int8_infer` calls fully static (no reduces).
+
+    Calibration-set size matters: a per-tensor max over too few frames
+    under-estimates scales on data with exposure/contrast swings and the
+    deployed path then saturates — measure with `calibration_clip_rates`
+    on held-out frames and recalibrate with more samples if the max clip
+    fraction is large."""
     collect: Dict = {}
     resnet50_int8_infer(qparams, sample_x, act_scales=None, _collect=collect)
     return {k: jnp.asarray(float(v), jnp.float32) for k, v in collect.items()}
+
+
+def calibration_clip_rates(qparams: Dict, act_scales: Dict,
+                           x: jnp.ndarray,
+                           int8_stages=(1, 2, 3, 4)) -> Dict:
+    """Per-tensor fraction of activation values saturating at ±127·scale
+    when ``x`` runs through the calibrated int8 trunk — THE calibration
+    sensitivity diagnostic. Rates ≈ 0 on representative frames mean the
+    calibration set covered the activation range; a tensor with a large
+    rate (≳1e-2) is being clipped and its scale came from an
+    unrepresentative sample. Diagnostics only (extra reduces per tensor);
+    never on the serving hot path."""
+    collect: Dict = {}
+    resnet50_int8_infer(qparams, x, act_scales=act_scales,
+                        _clip_collect=collect, int8_stages=int8_stages)
+    return {k: float(v) for k, v in collect.items()}

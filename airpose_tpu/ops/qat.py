@@ -1,0 +1,70 @@
+"""Quantization-aware training (QAT): straight-through fake-quant of the
+trunk conv kernels inside the train step.
+
+The deployment path quantizes the BN-folded trunk convs to symmetric
+per-output-channel int8 (ops/int8_trunk.quantize_trunk_params). PTQ on
+this model family measured accuracy-free (PERF.md), but if a checkpoint
+ever quantizes badly there must be a recovery path: train (or
+`--train_reg_only`-style fine-tune) THROUGH the quantizer so the weights
+(or the downstream heads) adapt to the deployment grid.
+
+Mechanics — the classic straight-through estimator (STE):
+
+    q(W) = clip(round(W / s), ±L) · s,   s = max|W[...,c]| / L per channel
+    forward sees q(W); backward sees identity (W + stop_grad(q(W) − W))
+
+Per-channel fake-quant on the UNFOLDED kernel models the deployed
+(BN-folded) quantization EXACTLY for the weight part: folding multiplies
+each output channel by f_c = γ_c/σ_c, which rescales that channel's quant
+scale by |f_c| and flips signs symmetrically — the quantization error
+commutes with the fold (tested: fold∘q ≡ q∘fold in
+tests/test_qat.py). Activation quantization is NOT modeled here (train-
+mode BN reshapes activations every step; per-tensor activation scales are
+calibrated at deployment instead, with `calibration_clip_rates` as the
+adequacy check).
+
+The stem conv is excluded — deployment keeps it bf16
+(ops/int8_trunk.py: "the stem always stays bf16").
+
+No reference counterpart (the reference serves fp32); this is the
+framework's own deployment story. Wired in as `TrainConfig.qat` →
+`--qat` on the trainer CLI.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+TRUNK_KEYS = ("trunk", "trunk0", "trunk1")
+
+
+def fake_quant_weight(k: jnp.ndarray, levels: float = 127.0) -> jnp.ndarray:
+    """Symmetric per-output-channel fake quantization with a straight-
+    through gradient. ``levels`` = 127 is the int8 deployment grid; tests
+    use coarser grids to make degradation measurable."""
+    flat = jnp.abs(k).reshape(-1, k.shape[-1])
+    scale = jnp.maximum(jnp.max(flat, axis=0) / levels, 1e-12)
+    q = jnp.clip(jnp.round(k / scale), -levels, levels) * scale
+    return k + jax.lax.stop_gradient(q - k)
+
+
+def fake_quant_trunk_params(params, levels: float = 127.0):
+    """Apply STE fake-quant to every residual-stage conv kernel of the
+    trunk(s) in a full param tree (`trunk` or the _sep `trunk0`/`trunk1`).
+    Heads, BN affine params, and the stem stay untouched — exactly the
+    tensors deployment quantizes (ops/int8_trunk.quantize_trunk_params)."""
+
+    def visit(path, leaf):
+        keys = [getattr(p, "key", str(p)) for p in path]
+        if (
+            len(keys) >= 4
+            and keys[0] in TRUNK_KEYS
+            and keys[1].startswith("layer")
+            and (keys[2].startswith("conv") or keys[2] == "downsample_conv")
+            and keys[-1] == "kernel"
+        ):
+            return fake_quant_weight(leaf, levels)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)

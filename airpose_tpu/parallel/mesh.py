@@ -80,6 +80,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a pytree of host arrays batch-sharded on the mesh."""
-    sh = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    """Place a pytree of host arrays batch-sharded on the mesh. Leaves
+    whose leading dim does not divide the mesh size are REPLICATED instead
+    of erroring — per-view constants like ``focal`` (leading dim = views)
+    and undersized validation tail batches stay correct (every device sees
+    the whole array; GSPMD resharding inside jit is unaffected)."""
+    n = mesh.shape[axis]
+    sharded = batch_sharding(mesh, axis)
+    full = replicate(mesh)
+
+    def put(x):
+        ok = np.ndim(x) >= 1 and np.shape(x)[0] % n == 0
+        return jax.device_put(x, sharded if ok else full)
+
+    return jax.tree.map(put, batch)

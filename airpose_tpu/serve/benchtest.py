@@ -60,6 +60,8 @@ def run_benchtest(
     sep: bool = False,
     startup_wait: float = 1.5,
     int8: bool = False,
+    measure_rate: bool = False,
+    rate_warmup: int = 4,
 ) -> Dict[str, float]:
     """Replay every frame of ``batches`` (finished real eval batches) through
     two live servers, then compare step3 wire results against the fused
@@ -67,7 +69,15 @@ def run_benchtest(
 
     ``int8`` serves with the quantized trunk (the --int8 deployment
     configuration) while the offline forward stays bf16 — the diffs then
-    quantify exactly what int8 serving costs in the wire format."""
+    quantify exactly what int8 serving costs in the wire format.
+
+    ``measure_rate`` additionally reports end-to-end served frames/s
+    through the live TCP 3-round pipeline (per drone pair; frames after
+    ``rate_warmup`` so jit compilation is excluded) — the counterpart of
+    the reference's quoted 4 FPS for the synchronized pipeline
+    (ref README.md final paragraph). Note both servers share this host's
+    one accelerator; a real deployment gives each drone its own, so this
+    under-reports the two-drone rate."""
     import jax.numpy as jnp
 
     from ..models import AirPoseTwoView, AirPoseTwoViewSep
@@ -81,7 +91,8 @@ def run_benchtest(
     for b in batches:
         img = np.asarray(b["images"])  # (B, 2, S, S, 3) normalized
         bb = np.asarray(b["bb"])
-        for i in range(img.shape[0]):
+        valid = int(b.get("_valid", img.shape[0]))  # skip tail-pad rows
+        for i in range(valid):
             imgs_u8.append([_denormalize_u8(img[i, v]) for v in (0, 1)])
             bbs.append(bb[i])
     n = len(imgs_u8)
@@ -91,17 +102,22 @@ def run_benchtest(
     ports = _free_ports(2)
     loop = asyncio.new_event_loop()
 
+    serve_error: List[Exception] = []
+
     def serve():
-        asyncio.set_event_loop(loop)
-        regs = (
-            [StagedRegressor(variables, sep_view=v, int8=int8)
-             for v in (0, 1)]
-            if sep else
-            [StagedRegressor(variables, int8=int8) for _ in (0, 1)]
-        )
-        loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
-        loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
-        loop.run_forever()
+        try:
+            asyncio.set_event_loop(loop)
+            regs = (
+                [StagedRegressor(variables, sep_view=v, int8=int8)
+                 for v in (0, 1)]
+                if sep else
+                [StagedRegressor(variables, int8=int8) for _ in (0, 1)]
+            )
+            loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
+            loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
+            loop.run_forever()
+        except BaseException as e:  # surfaced to the clients below
+            serve_error.append(e)
 
     server_thread = threading.Thread(target=serve, daemon=True)
     server_thread.start()
@@ -110,11 +126,24 @@ def run_benchtest(
     time.sleep(startup_wait)
 
     served = [np.zeros((n, C.WIRE_NUM_FLOATS), np.float32) for _ in (0, 1)]
+    done_t = [np.zeros(n) for _ in (0, 1)]  # per-frame completion stamps
     errors: List[Exception] = []
+
+    def _connect(port):
+        # regressor construction (quantization, device init) can outlast
+        # startup_wait — retry until the server binds or provably died
+        deadline = time.time() + 120
+        while True:
+            try:
+                return socket.create_connection(("127.0.0.1", port), timeout=60)
+            except OSError:
+                if serve_error or time.time() > deadline:
+                    raise
+                time.sleep(0.25)
 
     def client(v):
         try:
-            sock = socket.create_connection(("127.0.0.1", ports[v]), timeout=60)
+            sock = _connect(ports[v])
             for f in range(n):
                 sock.sendall(P.encode_image(
                     v, f, bbs[f][v], init_trans, imgs_u8[f][v]
@@ -123,6 +152,7 @@ def run_benchtest(
                 assert msg is not None and msg[0] == P.MSG_RESULT, msg
                 fid, data = P.decode_step(msg[1])
                 served[v][fid] = data
+                done_t[v][f] = time.perf_counter()
             sock.close()
         except Exception as e:  # surfaced below
             errors.append(e)
@@ -133,8 +163,17 @@ def run_benchtest(
     for t in threads:
         t.join(timeout=600)
     loop.call_soon_threadsafe(loop.stop)
+    if serve_error:
+        raise RuntimeError("benchtest server failed") from serve_error[0]
     if errors:
         raise RuntimeError(f"benchtest client failed: {errors}")
+
+    rate = {}
+    if measure_rate:
+        w = max(1, min(rate_warmup, n - 1))
+        fps = [(n - w) / max(done_t[v][n - 1] - done_t[v][w - 1], 1e-9)
+               for v in (0, 1)]
+        rate["served_fps"] = float(np.mean(fps))
 
     # ---- offline fused forward over the same uint8 crops ----
     x = jnp.asarray(np.stack(
@@ -161,6 +200,7 @@ def run_benchtest(
         diffs[f"pose_{name}"] = float(
             np.abs(served[v][:, 13:] - off_pose[:, v, 3:]).mean()
         )
+    diffs.update(rate)
     return diffs
 
 
@@ -180,6 +220,12 @@ def main(argv=None):
                    help="serve with the int8 PTQ trunk; the offline "
                         "reference stays bf16, so the printed diffs ARE "
                         "the deployed quantization cost")
+    p.add_argument("--rate", action="store_true",
+                   help="also measure end-to-end served frames/s through "
+                        "the live 3-round pipeline (per drone pair, "
+                        "post-warmup; the reference's 4-FPS counterpart)")
+    p.add_argument("--rate-warmup", type=int, default=4,
+                   help="frames excluded from --rate (jit compilation)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = p.parse_args(argv)
 
@@ -216,9 +262,13 @@ def main(argv=None):
     diffs = run_benchtest(
         variables, batches, model=model,
         sep=args.model == "copenet_twoview_sep", int8=args.int8,
+        measure_rate=args.rate, rate_warmup=args.rate_warmup,
     )
     for k, v in diffs.items():
-        print(f"benchtest_absdiff_{k}: {v:.6f}")
+        if k == "served_fps":
+            print(f"benchtest_{k}: {v:.2f}")
+        else:
+            print(f"benchtest_absdiff_{k}: {v:.6f}")
 
 
 if __name__ == "__main__":

@@ -18,6 +18,18 @@ from . import losses as L
 from .state import TrainState
 
 
+def _maybe_qat(params, cfg: TrainConfig):
+    """QAT hook shared by all train steps: with cfg.qat the forward (and
+    the gradient's forward pass) sees deployment-fake-quantized trunk conv
+    kernels via the straight-through estimator, while the optimizer keeps
+    updating the latent full-precision weights (ops/qat.py)."""
+    if not cfg.qat:
+        return params
+    from ..ops.qat import fake_quant_trunk_params
+
+    return fake_quant_trunk_params(params, cfg.qat_levels)
+
+
 def _input_trans(batch, cfg: TrainConfig, key):
     """IEF translation initialization: fixed [0,0,10] or GT+noise, then
     distance-scaled (ref copenet_twoview.py:180-203)."""
@@ -76,7 +88,8 @@ def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx
 
         def loss_fn(params):
             out, new_stats = forward(
-                params, state.batch_stats, batch, in_trans, True, k_drop
+                _maybe_qat(params, cfg), state.batch_stats, batch, in_trans,
+                True, k_drop
             )
             loss, metrics = loss_from_out(out, batch)
             return loss, (metrics, new_stats)
@@ -160,7 +173,8 @@ def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: 
 
         def loss_fn(params):
             out, new_stats = apply_model(
-                params, state.batch_stats, batch, in_trans, True, k_drop
+                _maybe_qat(params, cfg), state.batch_stats, batch, in_trans,
+                True, k_drop
             )
             loss, metrics = loss_from_out(out, batch)
             return loss, (metrics, new_stats)
@@ -219,7 +233,8 @@ def make_real_twoview_step_fns(
         k_vp, k_drop = jax.random.split(key)
 
         def loss_fn(params):
-            out, new_stats = forward(params, state.batch_stats, batch, True, k_drop)
+            out, new_stats = forward(
+                _maybe_qat(params, cfg), state.batch_stats, batch, True, k_drop)
             loss, metrics = L.real_twoview_loss(
                 out.pose, out.betas, batch, smplx_params, vposer_params,
                 cfg.real_loss, k_vp, cfg.trans_scale,
@@ -274,7 +289,8 @@ def make_real_singleview_step_fns(
 
         def loss_fn(params):
             out, new_stats = apply_model(
-                params, state.batch_stats, batch["images"][:, view], True, k_drop
+                _maybe_qat(params, cfg), state.batch_stats,
+                batch["images"][:, view], True, k_drop
             )
             loss, metrics = L.real_singleview_loss(
                 out.pose6d, out.betas, out.cam, batch, smplx_params,

@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wall-clock budget (s); exceeded -> ckpt + exit 3")
     t.add_argument("--smpltrans_noise_sigma", type=float, default=None)
     t.add_argument("--train_reg_only", action="store_true")
+    t.add_argument("--qat", action="store_true",
+                   help="quantization-aware training: the train forward "
+                        "sees int8-fake-quantized trunk convs (straight-"
+                        "through gradient, ops/qat.py) so deployment PTQ "
+                        "stays accuracy-free; combine with "
+                        "--train_reg_only to adapt only the heads to a "
+                        "frozen quantized trunk")
+    t.add_argument("--qat_levels", type=float, default=127.0,
+                   help="fake-quant grid (127 = int8 deployment)")
     t.add_argument("--pretrained_checkpoint", default=None,
                    help="orbax dir to initialize from (fine-tune)")
     t.add_argument("--smplx_model_dir", default=None,
@@ -111,7 +120,8 @@ def make_config(args):
         img_res=args.img_res,
         smpltrans_noise_sigma=args.smpltrans_noise_sigma,
         summary_steps=args.summary_steps,
-        train_reg_only=args.train_reg_only, loss=loss, seed=args.seed,
+        train_reg_only=args.train_reg_only, qat=args.qat,
+        qat_levels=args.qat_levels, loss=loss, seed=args.seed,
     )
 
 
@@ -347,8 +357,9 @@ def main(argv=None):
         def _finish(ds, idx, rng_np, deterministic, key):
             hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
             # attach cached canonical GT
-            hb["gt_vertices"] = ds._gt_cache["vertices"][idx]
-            hb["gt_joints"] = ds._gt_cache["joints"][idx]
+            gt = ds.canonical_gt(idx)
+            hb["gt_vertices"] = gt["vertices"]
+            hb["gt_joints"] = gt["joints"]
             hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
             return finish_batch(hb, key, deterministic=deterministic)
 

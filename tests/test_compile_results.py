@@ -263,3 +263,68 @@ def test_load_vposer_ckpt_roundtrip(tmp_path):
     out = vposer_decode(loaded, z)
     assert out["pose_body"].shape == (2, 21, 3)
     assert np.isfinite(np.asarray(out["pose_body"])).all()
+
+
+def test_eval_covers_all_frames_when_batch_does_not_divide(tmp_path, capsys):
+    """n % batch_size != 0 must NOT silently drop the tail: every split's
+    outputs pkl must carry exactly n rows, on the on-disk supervised path,
+    the hmr single-view path, and the real:// path (the round-2 defect:
+    all three batch generators skipped the final partial batch)."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=5)
+
+    def rows(pkl, split_i, key):
+        res = pickle.load(open(pkl, "rb"))
+        return sum(o["output"][key].shape[0] for o in res[split_i])
+
+    out_pkl = str(tmp_path / "tv.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "2", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    capsys.readouterr()
+    # the fixture writes ceil/floor split sizes; read the actual n
+    from airpose_tpu.data import AerialPeopleDataset
+
+    n_test = len(AerialPeopleDataset(str(data_dir), "test"))
+    assert n_test % 2 == 1, "fixture no longer exercises a partial tail"
+    assert rows(out_pkl, 0, "pred_angles0") == n_test
+
+    out_pkl = str(tmp_path / "hmr.pkl")
+    main([
+        "--model", "hmr", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "2", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    capsys.readouterr()
+    assert rows(out_pkl, 0, "pred_angles") == n_test
+
+    ds = tmp_path / "real"
+    os.makedirs(ds)
+    _write_fake_real(str(ds), n=5)
+    out_pkl = str(tmp_path / "real.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"real://{ds}",
+        "--split", "test", "--test_frames", "0", "5",
+        "--out", out_pkl, "--batch_size", "2", "--img_res", "64",
+        "--synthetic_verts", "99",
+    ])
+    printed = capsys.readouterr().out
+    assert rows(out_pkl, 0, "pred_pose0") == 5
+    # the robust-frame metric sees all 5 frames too
+    assert "test_robust_frames: 5.0000" in printed
+
+    # synthetic:// path
+    out_pkl = str(tmp_path / "syn.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", "synthetic://5",
+        "--out", out_pkl, "--batch_size", "2", "--img_res", "64",
+    ])
+    capsys.readouterr()
+    assert rows(out_pkl, 0, "pred_angles0") == 5

@@ -114,3 +114,69 @@ def test_int8_trunk_matches_bf16_within_ptq_bounds(rng):
     assert corr > 0.9, corr
     rel = np.linalg.norm(got_static - want) / np.linalg.norm(want)
     assert rel < 0.35, rel
+
+
+def test_calibration_clip_rates_detect_shifted_data(rng):
+    """Calibration-sensitivity diagnostics: scales calibrated on dim
+    frames must report substantial clipping on bright (2x contrast)
+    frames, near-zero on same-regime frames — and a calibration that
+    INCLUDES the shifted regime brings both the clip rates and the
+    feature error back within the PTQ bound."""
+    from airpose_tpu.ops import calibration_clip_rates
+
+    model = ResNet50(dtype=jnp.bfloat16)
+    dim = jnp.asarray(rng.normal(size=(2, 64, 64, 3)).astype(np.float32) * 0.15)
+    bright = dim * 2.0
+    variables = model.init(jax.random.PRNGKey(1), dim)
+    qp = quantize_trunk_params(variables)
+
+    scales_dim = calibrate_act_scales(qp, dim)
+    rates_same = calibration_clip_rates(qp, scales_dim, dim)
+    rates_shift = calibration_clip_rates(qp, scales_dim, bright)
+    assert max(rates_same.values()) < 1e-3, max(rates_same.values())
+    assert max(rates_shift.values()) > 10 * max(
+        max(rates_same.values()), 1e-6), (
+        max(rates_same.values()), max(rates_shift.values()))
+
+    # recalibrate over BOTH regimes (the --int8_calib_n remedy): clipping
+    # collapses and the bright-frame features return to the PTQ bound
+    scales_both = calibrate_act_scales(qp, jnp.concatenate([dim, bright]))
+    rates_fixed = calibration_clip_rates(qp, scales_both, bright)
+    assert max(rates_fixed.values()) < 1e-3, max(rates_fixed.values())
+
+    want = np.asarray(model.apply(variables, bright, train=False))
+    got = np.asarray(resnet50_int8_infer(qp, bright, act_scales=scales_both))
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.9, corr
+
+
+def test_compile_results_int8_calib_n_cli(tmp_path, capsys, rng):
+    """--int8_calib_n: a larger calibration sample spans multiple eval
+    batches and the clip-rate report prints; metrics stay finite."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_aerialpeople
+
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=5)
+
+    out_pkl = str(tmp_path / "r.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "2", "--img_res", "64", "--synthetic_verts", "99",
+        "--int8", "--int8_calib_n", "6",
+    ])
+    printed = capsys.readouterr().out
+    assert "int8 calibration: 6 images; clip rate" in printed
+    with open(out_pkl + ".metrics.json") as f:
+        m = json.load(f)
+    assert np.isfinite(m["test"]["mpjpe0"])

@@ -1,0 +1,118 @@
+"""QAT tests: STE gradient identity, fold∘quant ≡ quant∘fold (the claim
+that pre-fold per-channel fake-quant models the deployed BN-folded int8
+grid exactly), and the recovery property — a model degraded by coarse
+quantization recovers under QAT steps while plain training does not model
+the quantizer at all."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airpose_tpu.bodymodel import synthetic_smplx_params
+from airpose_tpu.config import TrainConfig
+from airpose_tpu.data import batch_slice, make_synthetic_dataset
+from airpose_tpu.models import MODEL_REGISTRY
+from airpose_tpu.ops import fake_quant_trunk_params, fake_quant_weight
+from airpose_tpu.train import create_train_state, make_twoview_step_fns
+
+B = 4
+
+
+def test_fake_quant_weight_ste_gradient_is_identity(rng):
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32))
+    g = jax.grad(lambda w: jnp.sum(fake_quant_weight(w, 7.0) * 2.0))(k)
+    np.testing.assert_allclose(np.asarray(g), 2.0)  # straight-through
+
+    q = np.asarray(fake_quant_weight(k, 7.0))
+    # forward IS quantized: per-output-channel grid of 2*7+1 values
+    for c in (0, 5):
+        vals = np.unique(np.round(q[..., c] / (np.abs(q[..., c]).max() / 7.0)))
+        assert len(vals) <= 15
+
+
+def test_fake_quant_commutes_with_bn_fold(rng):
+    """quantize(fold(W)) == fold(quantize(W)) per output channel — the
+    exactness argument for doing QAT on unfolded kernels (ops/qat.py
+    docstring; fold multiplies channel c by f_c = γ_c/σ_c, which rescales
+    that channel's symmetric per-channel scale by |f_c|)."""
+    from airpose_tpu.ops import fold_bn_into_conv
+
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))  # ± signs
+    beta = jnp.zeros(8)
+    mean = jnp.zeros(8)
+    var = jnp.asarray(rng.uniform(0.5, 2.0, size=(8,)).astype(np.float32))
+
+    fold_then_q, _ = fold_bn_into_conv(
+        fake_quant_weight(k, 7.0), gamma, beta, mean, var)
+    q_then_fold = fake_quant_weight(
+        fold_bn_into_conv(k, gamma, beta, mean, var)[0], 7.0)
+    np.testing.assert_allclose(np.asarray(fold_then_q),
+                               np.asarray(q_then_fold), rtol=1e-5, atol=1e-7)
+
+
+def test_qat_recovers_quantization_degradation(rng):
+    """The VERDICT-prescribed recovery check: train a twoview model
+    briefly, degrade it with a coarse quantization grid (levels=7 ≈ 3-bit
+    — int8 is accuracy-free on this family, so the test uses a grid where
+    PTQ visibly hurts), then fine-tune WITH cfg.qat at that grid. The
+    quantized-forward eval loss must recover most of the PTQ damage."""
+    smplx_small = synthetic_smplx_params(num_vertices=222, seed=3)
+    dataset = make_synthetic_dataset(
+        smplx_small, num_samples=8, seed=5, img_size=64, blob_sigma=3.0)
+    batch = batch_slice(dataset, 0, B)
+
+    levels = 7.0
+    cfg = TrainConfig(lr=1e-4, batch_size=B)
+    cfg_qat = TrainConfig(lr=1e-4, batch_size=B, qat=True, qat_levels=levels)
+
+    model = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters)
+    in_trans = jnp.full_like(batch["gt_trans"], 0.5)
+    state, tx = create_train_state(
+        model, (batch["images"], batch["bb"], in_trans),
+        jax.random.PRNGKey(0), lr=cfg.lr)
+    train_step, eval_step = make_twoview_step_fns(model, smplx_small, cfg, tx)
+    qat_step, _ = make_twoview_step_fns(model, smplx_small, cfg_qat, tx)
+
+    def quantized_eval_loss(state):
+        qstate = state.replace(
+            params=fake_quant_trunk_params(state.params, levels))
+        m, _ = eval_step(qstate, batch)
+        return float(m["loss"])
+
+    key = jax.random.PRNGKey(42)
+    for _ in range(15):  # plain pre-training
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+    bf16_loss = float(eval_step(state, batch)[0]["loss"])
+    ptq_loss = quantized_eval_loss(state)
+    damage = ptq_loss - bf16_loss
+    assert damage > 0.05 * bf16_loss, (
+        "fixture no longer shows PTQ degradation at this grid", bf16_loss,
+        ptq_loss)
+
+    for _ in range(20):  # QAT fine-tune at the same grid
+        key, sub = jax.random.split(key)
+        state, metrics = qat_step(state, batch, sub)
+    qat_loss = quantized_eval_loss(state)
+    # the quantized forward must recover most of the PTQ damage (QAT also
+    # keeps optimizing the objective itself, so well below ptq_loss)
+    assert qat_loss < bf16_loss + 0.5 * damage, (bf16_loss, ptq_loss, qat_loss)
+    assert np.isfinite(qat_loss)
+
+
+def test_trainer_cli_qat_smoke(tmp_path):
+    """--qat end to end through the trainer CLI (tiny synthetic run)."""
+    from airpose_tpu.train.trainer import main
+
+    main([
+        "--name", "qat_smoke", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", "synthetic://8", "--log_dir", str(tmp_path),
+        "--batch_size", "4", "--val_batch_size", "4", "--max_steps", "2",
+        "--val_every", "2", "--img_res", "64", "--qat", "--qat_levels", "15",
+    ])
+    import os
+
+    assert os.path.exists(
+        str(tmp_path / "qat_smoke" / "version_0" / "checkpoints" / "last"))

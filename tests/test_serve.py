@@ -370,7 +370,10 @@ def test_benchtest_served_matches_offline(tmp_path, rng):
         jax.random.PRNGKey(9), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
     )
     batches = list(real_batches(ds, 3, out_size=64))
-    diffs = run_benchtest(variables, batches, model=model)
+    diffs = run_benchtest(variables, batches, model=model,
+                          measure_rate=True, rate_warmup=1)
+    fps = diffs.pop("served_fps")
+    assert np.isfinite(fps) and fps > 0
     assert set(diffs) == {
         "beta_m1", "beta_m2", "trans_m1", "trans_m2", "pose_m1", "pose_m2"
     }

@@ -78,19 +78,22 @@ def test_twoview_loss_decreases(smplx_small, dataset):
 
 
 @pytest.mark.parametrize("family", ["hmr", "copenet_singleview", "muhmr"])
-def test_other_families_take_steps(smplx_small, dataset, family):
+def test_other_families_loss_decreases(smplx_small, dataset, family):
+    """Descent, not just liveness, for the three non-flagship families —
+    the same tail-below-head check the twoview family has (the kp2d term
+    has an early transient, so compare means, not monotonicity)."""
     cfg = TrainConfig(lr=1e-4, batch_size=B, model=family)
     batch = batch_slice(dataset, 0, B)
     model, state, tx = _init(family, batch, cfg)
     train_step, eval_step = make_singleview_step_fns(model, smplx_small, cfg, tx, family)
     key = jax.random.PRNGKey(1)
-    l0 = None
-    for i in range(3):
+    losses = []
+    for i in range(15):
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, sub)
-        if l0 is None:
-            l0 = float(metrics["loss"])
-    assert np.isfinite(float(metrics["loss"]))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:3]), (family, losses)
 
 
 def test_data_parallel_step_on_mesh(smplx_small, dataset):
