@@ -174,6 +174,84 @@ def convert_reference_checkpoint(
     }
 
 
+def _export_resnet_flax_to_torch(params: Dict, stats: Dict, sd: Dict,
+                                 prefix: str) -> None:
+    """Inverse of `convert_resnet_torch_to_flax`: flax trunk trees → torch
+    state-dict entries (HWIO → OIHW)."""
+    import torch
+
+    def put_conv(key, kernel):
+        sd[prefix + key] = torch.from_numpy(
+            np.asarray(kernel, np.float32).transpose(3, 2, 0, 1).copy())
+
+    def put_bn(key, p, s):
+        sd[prefix + key + ".weight"] = torch.from_numpy(np.asarray(p["scale"], np.float32))
+        sd[prefix + key + ".bias"] = torch.from_numpy(np.asarray(p["bias"], np.float32))
+        sd[prefix + key + ".running_mean"] = torch.from_numpy(np.asarray(s["mean"], np.float32))
+        sd[prefix + key + ".running_var"] = torch.from_numpy(np.asarray(s["var"], np.float32))
+
+    put_conv("conv1.weight", params["conv1"]["kernel"])
+    put_bn("bn1", params["bn1"], stats["bn1"])
+    for stage, n_blocks in enumerate((3, 4, 6, 3), start=1):
+        for b in range(n_blocks):
+            src = f"layer{stage}_{b}"
+            dst = f"layer{stage}.{b}"
+            for ci in (1, 2, 3):
+                put_conv(f"{dst}.conv{ci}.weight", params[src][f"conv{ci}"]["kernel"])
+                put_bn(f"{dst}.bn{ci}", params[src][f"bn{ci}"], stats[src][f"bn{ci}"])
+            if "downsample_conv" in params[src]:
+                put_conv(f"{dst}.downsample.0.weight",
+                         params[src]["downsample_conv"]["kernel"])
+                put_bn(f"{dst}.downsample.1", params[src]["downsample_bn"],
+                       stats[src]["downsample_bn"])
+
+
+def export_reference_checkpoint(variables: Dict, model_name: str,
+                                out_path: str) -> str:
+    """Inverse converter: this framework's variables → a reference-layout
+    PyTorch-Lightning ``.ckpt`` (state_dict with 'model.' keys, torch
+    Linear (out, in) / conv OIHW orientation — the exact layout
+    `convert_reference_checkpoint` consumes, ref model_copenet.py:53-110 /
+    model_copenet_sep.py:169-237). Two uses: serving TPU-trained weights
+    through reference-side tooling, and the dress-rehearsal round-trip
+    that proves the converter pair on genuinely trained weights."""
+    import torch  # host-side conversion tool only
+
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    sd: Dict[str, Any] = {}
+
+    def put_linear(prefix, name, tree):
+        sd[f"{prefix}{name}.weight"] = torch.from_numpy(
+            np.asarray(tree["kernel"], np.float32).T.copy())
+        sd[f"{prefix}{name}.bias"] = torch.from_numpy(
+            np.asarray(tree["bias"], np.float32))
+
+    head_names = {
+        "hmr": ("decpose", "decshape", "deccam"),
+        "muhmr": ("decpose", "decshape", "deccam"),
+        "copenet_singleview": ("decpose", "decshape"),
+        "copenet_twoview": ("decpose", "decshape"),
+        "copenet_twoview_sep": ("decpose", "decshape"),
+    }[model_name]
+    if model_name == "copenet_twoview_sep":
+        for v in (0, 1):
+            sub = f"model.copenet{v}."
+            _export_resnet_flax_to_torch(
+                params[f"trunk{v}"], stats[f"trunk{v}"], sd, sub)
+            for name in ("fc1", "fc2") + head_names:
+                put_linear(sub, name, params[f"core{v}"][name])
+    else:
+        _export_resnet_flax_to_torch(params["trunk"], stats["trunk"], sd,
+                                     "model.")
+        for name in ("fc1", "fc2") + tuple(
+            n for n in head_names if n in params["core"]
+        ):
+            put_linear("model.", name, params["core"][name])
+    torch.save({"state_dict": sd, "hyper_parameters": {}}, out_path)
+    return out_path
+
+
 def load_model_variables(model_name: str, ckpt: Optional[str] = None,
                          torch_ckpt: Optional[str] = None):
     """Inference-time weight loading shared by the serving/bench CLIs:

@@ -390,3 +390,41 @@ def test_load_model_variables_both_sources(tmp_path):
 
     with pytest.raises(ValueError):
         load_model_variables("copenet_twoview")
+
+
+@pytest.mark.parametrize("family", ["copenet_twoview", "copenet_twoview_sep",
+                                    "hmr"])
+def test_export_then_convert_roundtrips(tmp_path, family):
+    """export_reference_checkpoint → convert_reference_checkpoint must
+    reproduce the original flax variables exactly (the converter-pair
+    proof the dress rehearsal runs on genuinely trained weights)."""
+    from airpose_tpu.models import MODEL_REGISTRY, family_init_args
+    from airpose_tpu.train.checkpoint import (
+        convert_reference_checkpoint,
+        export_reference_checkpoint,
+    )
+
+    model = MODEL_REGISTRY[family]()
+    variables = model.init(
+        jax.random.PRNGKey(11), *family_init_args(family, 1, 64))
+    path = str(tmp_path / "exported.ckpt")
+    export_reference_checkpoint(
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]}, family, path)
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    back = convert_reference_checkpoint(blob["state_dict"], family)
+
+    for tree_name in ("params", "batch_stats"):
+        orig = jax.tree.leaves_with_path(dict(variables[tree_name]))
+        conv = dict(jax.tree_util.tree_flatten_with_path(back[tree_name])[0])
+        orig_map = {jax.tree_util.keystr(p): np.asarray(a) for p, a in orig}
+        conv_map = {jax.tree_util.keystr(p): np.asarray(a) for p, a in conv.items()}
+        if family == "hmr":
+            # export writes deccam; the flax hmr has it too — full match
+            pass
+        assert set(conv_map) == set(orig_map), (
+            set(conv_map) ^ set(orig_map))
+        for k in orig_map:
+            np.testing.assert_allclose(conv_map[k], orig_map[k], atol=1e-6,
+                                       err_msg=k)
