@@ -162,7 +162,24 @@ def run_benchtest(
         t.start()
     for t in threads:
         t.join(timeout=600)
-    loop.call_soon_threadsafe(loop.stop)
+    # graceful shutdown: cancel the server coroutines BEFORE stopping the
+    # loop, then close it from its own thread — a bare stop() leaves
+    # client_loop tasks awaiting q.get() on a closed loop (the "Event loop
+    # is closed" unraisable in test runs)
+    async def _shutdown():
+        tasks = [t for t in asyncio.all_tasks(loop)
+                 if t is not asyncio.current_task()]
+        for task in tasks:
+            task.cancel()
+        # wait for the cancellations to finish their cleanup (closing the
+        # TCP servers takes extra loop iterations) before stopping
+        await asyncio.gather(*tasks, return_exceptions=True)
+        loop.stop()
+
+    asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+    server_thread.join(timeout=10)
+    if not loop.is_running() and not loop.is_closed():
+        loop.close()
     if serve_error:
         raise RuntimeError("benchtest server failed") from serve_error[0]
     if errors:

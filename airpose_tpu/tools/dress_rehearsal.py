@@ -1,0 +1,218 @@
+"""One-command dress rehearsal of the full reference workflow on fixtures.
+
+The reference README's end-to-end contract is: install → preprocess the
+dataset → train → evaluate (res_compile) → refine (AirPose+ bundle_adj)
+→ deploy (client/server). The released datasets/checkpoints are external
+downloads; this driver runs the ENTIRE chain on generated fixtures so the
+whole pipeline is exercisable (and regression-tested) in one command:
+
+    python -m airpose_tpu.tools.dress_rehearsal --workdir out [--platform cpu]
+
+Stages (each through the real CLI entry point, not library shortcuts):
+  1. tools/create_aerialpeople      → synthetic AerialPeople dataset
+  2. train/trainer                  → smoke-train copenet_twoview
+  3. train/checkpoint export+convert→ trained → reference .ckpt → orbax,
+                                      verified array-identical (the
+                                      converter-pair proof on genuinely
+                                      trained weights)
+  4. eval/compile_results (on-disk) → MPJPE/PA-MPJPE/MPE, bf16 AND --int8
+  5. tools/synth_real_capture       → synthetic DJI-layout capture
+  6. eval/compile_results (real://) → outputs pkl + cross-view metric
+  7. optim/bundle_adjust            → AirPose+ refinement + trajectory png
+  8. serve/benchtest                → served-vs-offline diffs + served FPS
+
+Prints a metrics table and writes ``rehearsal_summary.json``. This is the
+parity dress rehearsal while released assets are absent (BASELINE.md north
+star): the moment real checkpoints/captures exist, point stages 3-8 at
+them instead.
+"""
+
+import contextlib
+import io
+import json
+import os
+import os.path as osp
+import pickle
+
+import numpy as np
+
+
+def _read_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
+        img_res: int = 64, ba_iters=(5, 10), verts: int = 99,
+        batch_size: int = 4) -> dict:
+    import jax
+
+    summary = {}
+    os.makedirs(workdir, exist_ok=True)
+
+    # ---- 1. dataset creation (the README "preprocess" step) ----
+    from .create_aerialpeople import main as create_main
+
+    aerial = osp.join(workdir, "aerialpeople")
+    create_main([
+        "--out", aerial, "--subjects", str(subjects),
+        "--poses-per-subject", "2", "--num-vertices", str(verts),
+        "--render-blobs",
+    ])
+    print(f"[1/8] dataset created: {aerial}", flush=True)
+
+    # ---- 2. smoke training ----
+    from ..train.trainer import main as train_main
+
+    logdir = osp.join(workdir, "logs")
+    train_main([
+        "--name", "rehearsal", "--version", "0",
+        "--model", "copenet_twoview", "--datapath", aerial,
+        "--log_dir", logdir, "--batch_size", str(batch_size),
+        "--val_batch_size", str(batch_size), "--max_steps", str(steps),
+        "--val_every", str(steps), "--img_res", str(img_res),
+        "--data_workers", "2",
+    ])
+    ckpt = osp.join(logdir, "rehearsal", "version_0", "checkpoints", "last")
+    summary["train_best_val"] = _read_json(
+        osp.join(logdir, "rehearsal", "version_0", "checkpoints",
+                 "best_val.json"))["best_val"]
+    print(f"[2/8] trained {steps} steps → {ckpt}", flush=True)
+
+    # ---- 3. converter round trip on the TRAINED weights ----
+    from ..train.checkpoint import (export_reference_checkpoint,
+                                    load_model_variables)
+    from ..train.checkpoint import main as convert_main
+
+    _, trained = load_model_variables("copenet_twoview", ckpt=ckpt)
+    exported = osp.join(workdir, "rehearsal_reference.ckpt")
+    export_reference_checkpoint(trained, "copenet_twoview", exported)
+    converted = osp.join(workdir, "converted_orbax")
+    convert_main(["--torch-ckpt", exported, "--model", "copenet_twoview",
+                  "--out", converted])
+    _, back = load_model_variables("copenet_twoview", ckpt=converted)
+    for tree in ("params", "batch_stats"):
+        a = jax.tree.leaves(trained[tree])
+        b = jax.tree.leaves(back[tree])
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       atol=1e-6)
+    summary["converter_roundtrip_max_err"] = float(max(
+        float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+        for x, y in zip(jax.tree.leaves(trained["params"]),
+                        jax.tree.leaves(back["params"]))))
+    print("[3/8] trained → reference .ckpt → orbax round trip: "
+          "array-identical", flush=True)
+
+    # ---- 4. on-disk eval, bf16 + int8 ----
+    from ..eval.compile_results import main as compile_main
+
+    for tag, extra in (("bf16", []), ("int8", ["--int8"])):
+        out_pkl = osp.join(workdir, f"synth_results_{tag}.pkl")
+        compile_main([
+            "--model", "copenet_twoview", "--ckpt", converted,
+            "--datapath", aerial, "--split", "test", "--out", out_pkl,
+            "--batch_size", str(batch_size), "--img_res", str(img_res),
+            "--synthetic_verts", str(verts), *extra,
+        ])
+        summary[f"synth_{tag}"] = _read_json(out_pkl + ".metrics.json")["test"]
+    print("[4/8] on-disk eval compiled (bf16 + int8)", flush=True)
+
+    # ---- 5+6. synthetic real capture → real:// eval ----
+    from .synth_real_capture import write_capture
+
+    real = osp.join(workdir, "real_capture")
+    write_capture(real, n_frames=frames)
+    real_pkl = osp.join(workdir, "real_results.pkl")
+    compile_main([
+        "--model", "copenet_twoview", "--ckpt", converted,
+        "--datapath", f"real://{real}", "--split", "test",
+        "--test_frames", "0", str(frames), "--out", real_pkl,
+        "--batch_size", str(min(batch_size, frames)),
+        "--img_res", str(img_res), "--synthetic_verts", str(verts),
+    ])
+    summary["real"] = _read_json(real_pkl + ".metrics.json")["test"]
+    print(f"[5-6/8] real-layout capture evaluated ({frames} frames)",
+          flush=True)
+
+    # ---- 7. AirPose+ ----
+    from ..optim.bundle_adjust import main as ba_main
+
+    ba_out = osp.join(workdir, "airpose_plus")
+    ba_main([
+        "--datapath", f"real://{real}", "--airpose-pkl", real_pkl,
+        "--split", "test", "--test_frames", "0", str(frames),
+        "--out", ba_out, "--synthetic_verts", str(verts),
+        "--iters1", str(ba_iters[0]), "--iters2", str(ba_iters[1]),
+    ])
+    with open(osp.join(ba_out, "airpose_plus_test.pkl"), "rb") as f:
+        ba = pickle.load(f)
+    summary["ba_loss_first"] = float(ba["trace"][0])
+    summary["ba_loss_final"] = float(ba["trace"][-1])
+    assert osp.exists(osp.join(ba_out, "cam_trajectory_test.png"))
+    print("[7/8] AirPose+ refinement done "
+          f"(loss {summary['ba_loss_first']:.3f} → "
+          f"{summary['ba_loss_final']:.3f})", flush=True)
+
+    # ---- 8. served-vs-offline benchtest + served FPS ----
+    from ..serve.benchtest import main as bench_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_main([
+            "--datapath", f"real://{real}", "--frames", "0", str(frames),
+            "--ckpt", converted, "--batch_size", str(min(batch_size, frames)),
+            "--img_res", str(img_res), "--rate", "--rate-warmup", "2",
+        ])
+    print(buf.getvalue(), end="", flush=True)
+    for line in buf.getvalue().splitlines():
+        if line.startswith("benchtest_"):
+            k, v = line.split(": ")
+            summary[k] = float(v)
+    assert summary["benchtest_absdiff_pose_m1"] < 1e-3
+    print("[8/8] serve benchtest done", flush=True)
+
+    # ---- table + summary ----
+    print("\n=== dress rehearsal metrics ===")
+    for k, v in summary.items():
+        if isinstance(v, dict):
+            for kk, vv in v.items():
+                print(f"  {k}/{kk:28s} {vv:.4f}")
+        else:
+            print(f"  {k:38s} {v:.6f}")
+    with open(osp.join(workdir, "rehearsal_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"wrote {osp.join(workdir, 'rehearsal_summary.json')}")
+    return summary
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--steps", type=int, default=6,
+                   help="training smoke steps")
+    p.add_argument("--frames", type=int, default=6,
+                   help="synthetic real-capture frames")
+    p.add_argument("--subjects", type=int, default=3)
+    p.add_argument("--img_res", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--verts", type=int, default=99,
+                   help="synthetic body-model vertex count")
+    p.add_argument("--ba_iters", type=int, nargs=2, default=(5, 10))
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    run(args.workdir, steps=args.steps, frames=args.frames,
+        subjects=args.subjects, img_res=args.img_res, verts=args.verts,
+        ba_iters=tuple(args.ba_iters), batch_size=args.batch_size)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,43 @@
+"""The one-command dress rehearsal (tools/dress_rehearsal.py) must run the
+whole reference workflow — dataset creation → training → converter round
+trip → on-disk eval (bf16+int8) → real-layout eval → AirPose+ → serve
+benchtest — end to end on fixture scales and produce a coherent summary.
+This is the regression net over all the CLI entry points at once."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_dress_rehearsal_end_to_end(tmp_path):
+    from airpose_tpu.tools.dress_rehearsal import run
+
+    summary = run(
+        str(tmp_path / "wd"), steps=2, frames=4, subjects=2,
+        img_res=64, ba_iters=(2, 3), verts=60, batch_size=2,
+    )
+
+    # every stage reported
+    for key in ("train_best_val", "converter_roundtrip_max_err",
+                "synth_bf16", "synth_int8", "real", "ba_loss_first",
+                "ba_loss_final", "benchtest_absdiff_pose_m1",
+                "benchtest_served_fps"):
+        assert key in summary, key
+
+    assert summary["converter_roundtrip_max_err"] < 1e-6
+    assert np.isfinite(summary["synth_bf16"]["mpjpe0"])
+    assert np.isfinite(summary["synth_int8"]["mpjpe0"])
+    assert np.isfinite(summary["real"]["crossview_consistency"])
+    # descent itself is proven at real iteration counts in
+    # test_bundle_adjust; at the rehearsal's few smoke iterations the
+    # Adam transient can go either way — only liveness is asserted here
+    assert np.isfinite(summary["ba_loss_final"])
+    assert summary["benchtest_absdiff_pose_m1"] < 1e-3
+    assert summary["benchtest_served_fps"] > 0
+
+    with open(str(tmp_path / "wd" / "rehearsal_summary.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk.keys() == summary.keys()
+    assert os.path.exists(
+        str(tmp_path / "wd" / "airpose_plus" / "cam_trajectory_test.png"))
