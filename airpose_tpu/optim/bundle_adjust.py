@@ -575,7 +575,13 @@ def main(argv=None):
     p.add_argument("--sharded", action="store_true",
                    help="optimize the whole sequence jointly, frame-"
                         "sharded over the device mesh (no chunk "
-                        "boundaries in the temporal term)")
+                        "boundaries in the temporal term). Measured at "
+                        "7000 frames on an 8-device mesh: 1.8x faster "
+                        "per sweep than chunked at 1.6x the memory "
+                        "(PERF.md). Chunked stays the default for "
+                        "bounded memory on arbitrary capture lengths "
+                        "(the reference's posture); prefer --sharded "
+                        "whenever a multi-device mesh is available")
     p.add_argument("--iters1", type=int, default=100)
     p.add_argument("--iters2", type=int, default=200)
     p.add_argument("--kp_threshold", type=float, default=50.0,

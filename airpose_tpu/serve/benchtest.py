@@ -144,6 +144,9 @@ def run_benchtest(
     def client(v):
         try:
             sock = _connect(ports[v])
+            # first frames include jit compilation; remote-compile backends
+            # can take minutes before the first result
+            sock.settimeout(600)
             for f in range(n):
                 sock.sendall(P.encode_image(
                     v, f, bbs[f][v], init_trans, imgs_u8[f][v]

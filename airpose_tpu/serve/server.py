@@ -174,9 +174,11 @@ class AirPoseServer:
         """The 3-round protocol for one frame (SURVEY.md §3.5)."""
         _, frame_id, bb, init_trans, img = P.decode_image(payload)
 
-        # Round 1: trunk + IEF iter 1 (mean peer), publish step1.
+        # Round 1: trunk + IEF iter 1 (mean peer), publish step1. The raw
+        # uint8 crop goes straight to the device — normalization is fused
+        # into the step1 program (4× smaller upload; staged.py).
         async with self._lock:
-            state = self.reg.step1(_normalize(img)[None], bb[None], init_trans[None])
+            state = self.reg.step1(img[None], bb[None], init_trans[None])
         await self._send_peer(P.MSG_STEP1, frame_id, state_to_wire(state))
 
         # Round 2: peer step1 → iter 2, publish step2.

@@ -27,9 +27,12 @@ from .protocol import pack_params, unpack_params
 
 
 class ViewState(NamedTuple):
-    pose: np.ndarray   # (B, 135) [trans*scale | 6D×22]
-    shape: np.ndarray  # (B, 10)
-    xf: np.ndarray     # (B, 2048) trunk features (kept between steps)
+    pose: np.ndarray   # (B, 135) [trans*scale | 6D×22] — host (wire access)
+    shape: np.ndarray  # (B, 10) — host (wire access)
+    xf: jnp.ndarray    # (B, 2048) trunk features — DEVICE-resident between
+                       # steps (pulling them to host costs a transfer round
+                       # trip per round; on a relay-attached chip each round
+                       # trip is ~30 ms — PERF.md served-rate analysis)
 
 
 def state_to_wire(state: ViewState, i: int = 0) -> np.ndarray:
@@ -83,16 +86,55 @@ class StagedRegressor:
 
         model = self.model
 
-        @jax.jit
-        def _features(variables, image):
-            return model.apply(
-                variables, image, method=type(model).extract_features
+        # Per-frame serving is LATENCY-bound, not FLOP-bound: every jitted
+        # call and every host pull is one host↔device round trip (~30 ms
+        # measured on this relay-attached chip, ~0.1 ms on a local PCIe
+        # host — PERF.md). So each protocol round is exactly ONE fused
+        # call: step1 fuses uint8→normalize→trunk→mean-pose concat→IEF
+        # iter; step2/3 reuse device-resident features. The mean-parameter
+        # constants are baked into the executable.
+        mean_pose_c, mean_shape_c, _ = mean_init_state((1,))
+        mean_pose_c = jnp.asarray(mean_pose_c[0])
+        mean_shape_c = jnp.asarray(mean_shape_c[0])
+        norm_mean = jnp.asarray(C.IMG_NORM_MEAN)
+        norm_std = jnp.asarray(C.IMG_NORM_STD)
+
+        def _normalize_in_graph(image):
+            if image.dtype == jnp.uint8:
+                image = image.astype(jnp.float32) / 255.0
+                image = (image - norm_mean) / norm_std
+            return image
+
+        def _step1_from_xf(variables, xf, bb, init_trans):
+            B = xf.shape[0]
+            pose = jnp.concatenate(
+                [init_trans * C.TRANS_SCALE,
+                 jnp.broadcast_to(mean_pose_c, (B,) + mean_pose_c.shape)],
+                axis=-1,
             )
+            shape = jnp.broadcast_to(mean_shape_c, (B, 10))
+            peer_art = jnp.broadcast_to(mean_pose_c[6:], (B, 126))
+            new_pose, new_shape = model.apply(
+                variables, xf, bb, pose, shape, peer_art, shape,
+                method=type(model).regress_step,
+            )
+            return xf, new_pose, new_shape
+
+        @jax.jit
+        def _step1(variables, image, bb, init_trans):
+            xf = model.apply(
+                variables, _normalize_in_graph(image),
+                method=type(model).extract_features,
+            )
+            return _step1_from_xf(variables, xf, bb, init_trans)
 
         @jax.jit
         def _reg(variables, xf, bb, pose, shape, peer_art, peer_shape):
+            B = xf.shape[0]
             return model.apply(
-                variables, xf, bb, pose, shape, peer_art, peer_shape,
+                variables, xf, bb, pose, shape,
+                jnp.broadcast_to(peer_art, (B, 126)),
+                jnp.broadcast_to(peer_shape, (B, 10)),
                 method=type(model).regress_step,
             )
 
@@ -102,57 +144,52 @@ class StagedRegressor:
             qp = self._qp
 
             @jax.jit
-            def _features_int8(image, scales):
-                return resnet50_int8_infer(qp, image, act_scales=scales)
+            def _step1_int8(variables, image, bb, init_trans, scales):
+                xf = resnet50_int8_infer(
+                    qp, _normalize_in_graph(image), act_scales=scales)
+                return _step1_from_xf(variables, xf, bb, init_trans)
 
-            self._features_int8 = _features_int8
+            self._step1_int8 = _step1_int8
+            self._norm_host = lambda img: (
+                np.asarray(_normalize_in_graph(jnp.asarray(img))))
 
-        self._features = _features
+        self._step1_jit = _step1
         self._reg = _reg
-
-    def _extract(self, image: jnp.ndarray) -> jnp.ndarray:
-        if not self.int8:
-            return self._features(self.variables, image)
-        if self._act_scales is None:
-            from ..ops import calibrate_act_scales
-
-            self._act_scales = calibrate_act_scales(
-                self._qp, image.astype(jnp.float32))
-        return self._features_int8(image, self._act_scales)
 
     def step1(self, image: np.ndarray, bb: np.ndarray,
               init_trans: np.ndarray) -> ViewState:
-        """image (B,224,224,3) normalized f32, bb (B,3), init_trans (B,3)
-        unscaled. Runs trunk + IEF iter 1 against mean peer state."""
-        B = image.shape[0]
-        xf = self._extract(jnp.asarray(image))
-        mean_pose, mean_shape, _ = mean_init_state((B,))
-        pose = jnp.concatenate(
-            [jnp.asarray(init_trans) * C.TRANS_SCALE, mean_pose], axis=-1
-        )
-        peer_art = jnp.broadcast_to(jnp.asarray(self._mean_art), (B, 126))
-        peer_shape = jnp.broadcast_to(jnp.asarray(self._mean_shape), (B, 10))
-        new_pose, new_shape = self._reg(
-            self.variables, xf, jnp.asarray(bb), pose, mean_shape,
-            peer_art, peer_shape,
-        )
-        return ViewState(
-            pose=np.asarray(new_pose), shape=np.asarray(new_shape),
-            xf=np.asarray(xf),
-        )
+        """image (B,S,S,3) — uint8 raw (preferred: 4× smaller upload,
+        normalization fused in-graph) or already-normalized f32; bb (B,3);
+        init_trans (B,3) unscaled. Runs trunk + IEF iter 1 against the
+        mean peer state in ONE device call."""
+        image = jnp.asarray(image)
+        bb = jnp.asarray(bb, jnp.float32)
+        init_trans = jnp.asarray(init_trans, jnp.float32)
+        if not self.int8:
+            xf, pose, shape = self._step1_jit(
+                self.variables, image, bb, init_trans)
+        else:
+            if self._act_scales is None:
+                from ..ops import calibrate_act_scales
+
+                self._act_scales = calibrate_act_scales(
+                    self._qp, jnp.asarray(self._norm_host(image)))
+            xf, pose, shape = self._step1_int8(
+                self.variables, image, bb, init_trans, self._act_scales)
+        pose, shape = jax.device_get((pose, shape))
+        return ViewState(pose=pose, shape=shape, xf=xf)
 
     def step23(self, state: ViewState, bb: np.ndarray,
                peer_art: np.ndarray, peer_shape: np.ndarray) -> ViewState:
         """One further IEF iteration with an explicit peer state (used for
-        both step2 and step3)."""
-        B = state.pose.shape[0]
+        both step2 and step3). One device call; trunk features stay
+        device-resident."""
         new_pose, new_shape = self._reg(
             self.variables,
-            jnp.asarray(state.xf), jnp.asarray(bb),
+            state.xf, jnp.asarray(bb, jnp.float32),
             jnp.asarray(state.pose), jnp.asarray(state.shape),
-            jnp.broadcast_to(jnp.asarray(peer_art, jnp.float32), (B, 126)),
-            jnp.broadcast_to(jnp.asarray(peer_shape, jnp.float32), (B, 10)),
+            jnp.asarray(peer_art, jnp.float32),
+            jnp.asarray(peer_shape, jnp.float32),
         )
-        return ViewState(
-            pose=np.asarray(new_pose), shape=np.asarray(new_shape), xf=state.xf
-        )
+        new_pose, new_shape = jax.device_get((new_pose, new_shape))
+        return ViewState(pose=new_pose, shape=new_shape, xf=state.xf)
