@@ -174,9 +174,11 @@ def run_benchtest(
                  if t is not asyncio.current_task()]
         for task in tasks:
             task.cancel()
-        # wait for the cancellations to finish their cleanup (closing the
-        # TCP servers takes extra loop iterations) before stopping
-        await asyncio.gather(*tasks, return_exceptions=True)
+        # wait (bounded) for the cancellations to finish their cleanup —
+        # closing the TCP servers takes extra loop iterations; the bound
+        # keeps a stuck handler from leaving the loop running forever
+        if tasks:
+            await asyncio.wait(tasks, timeout=5)
         loop.stop()
 
     asyncio.run_coroutine_threadsafe(_shutdown(), loop)

@@ -49,7 +49,8 @@ class AirPoseServer:
     """
 
     def __init__(self, regressor: StagedRegressor, robot_id: int,
-                 peer_timeout: float = 10.0):
+                 peer_timeout: float = 10.0,
+                 max_frames: Optional[int] = None):
         self.reg = regressor
         self.robot_id = robot_id
         self.peer_timeout = peer_timeout
@@ -60,6 +61,12 @@ class AirPoseServer:
         self._lock = asyncio.Lock()
         self.frames_dropped = 0
         self.peer_timeouts = 0
+        # bounded runs: after max_frames step3 results the server resolves
+        # `done` and run_server returns (demo/test runs exit cleanly
+        # instead of serving forever)
+        self.frames_served = 0
+        self.max_frames = max_frames
+        self.done = asyncio.Event()
 
     # ---- peer message bookkeeping ----
 
@@ -195,6 +202,14 @@ class AirPoseServer:
             state = self.reg.step23(state, bb[None], art[None], shape[None])
         writer.write(P.encode_step(P.MSG_RESULT, frame_id, state_to_wire(state)))
         await writer.drain()
+        self.frames_served += 1
+        if self.max_frames is not None and self.frames_served >= self.max_frames:
+            # drain() only means below-high-water: flush the final result
+            # all the way out before the loop shuts down, or the client
+            # sees EOF instead of its step3 message
+            writer.close()
+            await writer.wait_closed()
+            self.done.set()
 
 
 async def run_server(
@@ -206,9 +221,11 @@ async def run_server(
     ready_event: Optional[asyncio.Event] = None,
     peer_timeout: float = 10.0,
     server: Optional[AirPoseServer] = None,
+    max_frames: Optional[int] = None,
 ):
     if server is None:
-        server = AirPoseServer(regressor, robot_id, peer_timeout=peer_timeout)
+        server = AirPoseServer(regressor, robot_id, peer_timeout=peer_timeout,
+                               max_frames=max_frames)
 
     async def on_connect(reader, writer):
         msg = await P.read_message(reader)
@@ -237,7 +254,10 @@ async def run_server(
     if ready_event is not None:
         ready_event.set()
     async with tcp:
-        await tcp.serve_forever()
+        if server.max_frames is not None:
+            await server.done.wait()
+        else:
+            await tcp.serve_forever()
 
 
 def main(argv=None):
@@ -263,6 +283,9 @@ def main(argv=None):
                         help="serve with the int8 PTQ trunk (1.38× on "
                         "v5e; activation scales calibrate on the first "
                         "frame batch — ops/int8_trunk.py)")
+    parser.add_argument("--max-frames", type=int, default=None,
+                        help="serve this many frames, then exit cleanly "
+                             "(bounded demo/test runs; default: forever)")
     parser.add_argument("--peer-timeout", type=float, default=10.0,
                         help="seconds to wait for a peer step message before "
                              "degrading to its last known state (flight "
@@ -302,7 +325,8 @@ def main(argv=None):
     reg = StagedRegressor(variables, sep_view=sep_view, int8=args.int8)
     asyncio.run(
         run_server(reg, args.robot_id, args.port, args.peer_host,
-                   args.peer_port, peer_timeout=args.peer_timeout)
+                   args.peer_port, peer_timeout=args.peer_timeout,
+                   max_frames=args.max_frames)
     )
 
 

@@ -170,10 +170,17 @@ class StagedRegressor:
                 self.variables, image, bb, init_trans)
         else:
             if self._act_scales is None:
-                from ..ops import calibrate_act_scales
+                from ..ops import calibrate_act_scales, calibration_clip_rates
 
-                self._act_scales = calibrate_act_scales(
-                    self._qp, jnp.asarray(self._norm_host(image)))
+                norm = jnp.asarray(self._norm_host(image))
+                self._act_scales = calibrate_act_scales(self._qp, norm)
+                rates = calibration_clip_rates(
+                    self._qp, self._act_scales, norm)
+                print(f"int8 serving calibrated on {int(norm.shape[0])} "
+                      f"frame(s); clip rate max "
+                      f"{max(rates.values()):.2e} — exposure/contrast "
+                      "swings beyond this sample will clip (see "
+                      "ops/int8_trunk.calibration_clip_rates)", flush=True)
             xf, pose, shape = self._step1_int8(
                 self.variables, image, bb, init_trans, self._act_scales)
         pose, shape = jax.device_get((pose, shape))

@@ -446,7 +446,7 @@ def test_server_cli_serves_saved_checkpoint(tmp_path, rng, family):
         args=([
             "--port", str(port), "--robot-id", str(robot_id),
             "--model", family, "--ckpt", str(tmp_path / "checkpoints" / "best"),
-            "--peer-timeout", "0.2",
+            "--peer-timeout", "0.2", "--max-frames", "1",
         ],),
         daemon=True,
     )
@@ -473,6 +473,9 @@ def test_server_cli_serves_saved_checkpoint(tmp_path, rng, family):
     fid, served = P.decode_step(msg[1])
     assert fid == 0 and served.shape == (C.WIRE_NUM_FLOATS,)
     assert np.isfinite(served).all()
+    # --max-frames 1: the CLI exits cleanly after the served frame
+    t.join(timeout=30)
+    assert not t.is_alive(), "--max-frames did not stop the server"
 
     # expected: the degraded 3-round path on the weights we saved
     variables = {"params": state.params, "batch_stats": state.batch_stats}
