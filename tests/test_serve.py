@@ -488,3 +488,33 @@ def test_server_cli_serves_saved_checkpoint(tmp_path, rng, family):
         art, shape = reg._mean_art[0], reg._mean_shape[0]
         st = reg.step23(st, bb[None], art[None], shape[None])
     np.testing.assert_allclose(served, state_to_wire(st), atol=1e-5)
+
+
+def test_lag_one_static_scene_equals_synchronized(rng):
+    """The lag-one (degraded peer) regime on a STATIC subject is exactly
+    the synchronized protocol: frame f-1's messages equal frame f's, so
+    the fallback changes nothing. On a moving sequence it diverges, and
+    the divergence must be bounded by the motion scale (the property the
+    reference documents but never measures — SURVEY §7)."""
+    from airpose_tpu.serve.lagone import lag_one_report
+
+    model = AirPoseTwoView()
+    variables = model.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 2, 64, 64, 3)),
+        jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5))
+    init_trans = np.asarray([0, 0, 10.0], np.float32)
+
+    static = np.asarray(rng.normal(size=(2, 64, 64, 3)), np.float32) * 0.1
+    imgs = [static for _ in range(4)]
+    bbs = [np.zeros((2, 3), np.float32) for _ in range(4)]
+    rep = lag_one_report(variables, imgs, bbs, init_trans)
+    assert rep["pose_absdiff"] < 1e-6, rep
+    assert rep["beta_absdiff"] < 1e-6, rep
+
+    # moving subject: divergence nonzero but same order as the per-frame
+    # motion of the synchronized result (lag-one is one frame stale)
+    drift = np.asarray(rng.normal(size=(2, 64, 64, 3)), np.float32) * 0.05
+    imgs = [static + f * drift for f in range(4)]
+    rep_m = lag_one_report(variables, imgs, bbs, init_trans)
+    assert rep_m["pose_absdiff"] > 0
+    assert rep_m["pose_absdiff"] < 5.0 * max(rep_m["frame_motion_pose"], 1e-9), rep_m
