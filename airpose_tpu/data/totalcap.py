@@ -1,0 +1,109 @@
+"""TotalCapture multi-view reader — the reference's totalcap loader,
+modernized.
+
+The reference `totalcap_full` reads a prebuilt `dsets/totalcap_db.pkl`
+({"db": [per-frame dicts with 'im1'..'im8' frame paths and SMPL GT
+'poses'/'betas'/'trans']}) plus `<root>/cameras.pkl`
+({'cam1'..'cam8': {'extr' (3,3), 'trans' (3,1), 'intr' (3,3)}}) and
+returns all eight full frames with ×4-shrunk intrinsics
+(ref copenet/src/copenet/dsets/totalcap.py:43-120). Like the h36m
+loaders it is legacy-broken in the reference (pre-packaging imports,
+totalcap.py:12) and outside the active path; this port reads the same
+layout into the canonical two-view host-batch contract, selecting a view
+pair (default cameras 1/2). TotalCapture has SMPL parameter GT: batches
+carry `gt_pose_aa` / `gt_betas` / `gt_trans` passthrough (full-frame
+person box — the reference consumed whole frames, no detector boxes)."""
+
+import os.path as osp
+import pickle
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+_FRAME_W, _FRAME_H = 1920, 1080  # ref totalcap.py:60-61 (1919/1079 crop)
+
+
+class TotalCaptureDataset:
+    def __init__(self, root: str, view_pair: Tuple[int, int] = (1, 2),
+                 context_size: int = 672):
+        self.root = root
+        self.view_pair = view_pair
+        self.context_size = context_size
+        with open(osp.join(root, "dsets", "totalcap_db.pkl"), "rb") as f:
+            self.db = pickle.load(f)["db"]
+        with open(osp.join(root, "cameras.pkl"), "rb") as f:
+            self.cams = pickle.load(f)
+
+    def __len__(self) -> int:
+        return len(self.db)
+
+    def host_batch(self, indices: Sequence[int], rng: np.random.Generator,
+                   decode_images: bool = True, swap_cams: bool = False) -> Dict:
+        import cv2
+
+        from .pipeline import decode_pool
+
+        B = len(indices)
+        S = self.context_size
+        pose_dim = np.asarray(self.db[indices[0]]["poses"]).size
+        out = {
+            "context": np.zeros((B, 2, S, S, 3), np.uint8),
+            "context_extent": np.zeros((B, 2, 2), np.float32),
+            "context_origin": np.zeros((B, 2, 2), np.float32),
+            "context_scale": np.ones((B, 2), np.float32),
+            "person_box": np.zeros((B, 2, 4), np.float32),
+            "intr": np.zeros((B, 2, 3, 3), np.float32),
+            "extr": np.zeros((B, 2, 4, 4), np.float32),
+            "gt_pose_aa": np.zeros((B, pose_dim), np.float32),
+            "gt_betas": np.zeros((B, 10), np.float32),
+            "gt_trans": np.zeros((B, 3), np.float32),
+        }
+        orders = [
+            self.view_pair[::-1] if swap_cams and rng.integers(2) == 1
+            else self.view_pair
+            for _ in indices
+        ]
+        jobs, paths = [], {}
+        for b, idx in enumerate(indices):
+            for v, cam in enumerate(orders[b]):
+                p = self.db[idx][f"im{cam}"]
+                paths[(b, v)] = p if osp.isabs(p) else osp.join(self.root, p)
+                jobs.append((b, v))
+        decoded = {}
+        if decode_images:
+            def _read(job):
+                return job, cv2.imread(paths[job])
+
+            decoded = dict(decode_pool(8).map(_read, jobs))
+
+        for b, idx in enumerate(indices):
+            rec = self.db[idx]
+            out["gt_pose_aa"][b] = np.asarray(rec["poses"], np.float32).ravel()
+            out["gt_betas"][b] = np.asarray(rec["betas"], np.float32).ravel()[:10]
+            out["gt_trans"][b] = np.asarray(rec["trans"], np.float32).ravel()[:3]
+            for v, cam in enumerate(orders[b]):
+                c = self.cams[f"cam{cam}"]
+                out["intr"][b, v] = np.asarray(c["intr"], np.float32)
+                extr = np.eye(4, dtype=np.float32)
+                extr[:3, :3] = np.asarray(c["extr"], np.float32)
+                extr[:3, 3] = np.asarray(c["trans"], np.float32).ravel()
+                out["extr"][b, v] = extr
+                # full-frame person box (the reference consumed whole
+                # frames without boxes)
+                img = decoded.get((b, v))
+                H, W = ((img.shape[0], img.shape[1]) if img is not None
+                        else (_FRAME_H, _FRAME_W))
+                out["person_box"][b, v] = (0.0, 0.0, W, H)
+                out["context_extent"][b, v] = (W, H)
+                if img is not None:
+                    crop = img[..., ::-1]
+                    h, w = crop.shape[:2]
+                    fscale = max(-(-max(h, w) // S), 1)
+                    if fscale > 1:
+                        crop = crop[::fscale, ::fscale]
+                        h, w = crop.shape[:2]
+                        out["context_scale"][b, v] = fscale
+                        out["person_box"][b, v] /= fscale
+                        out["context_extent"][b, v] = (w, h)
+                    out["context"][b, v, :h, :w] = crop
+        return out
