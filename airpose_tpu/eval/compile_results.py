@@ -71,6 +71,37 @@ def _pop_valid(batch: Dict) -> int:
     return int(batch.pop("_valid", batch["images"].shape[0]))
 
 
+def _mesh_sharded(batches: Iterable[Dict], mesh) -> Iterable[Dict]:
+    """Batch-shard every eval batch over a data-parallel mesh. The jitted
+    eval step then runs SPMD across the devices (params replicated, batch
+    split, GSPMD inserts any collectives — there are none in the eval
+    forward, so this is embarrassingly parallel). Leaves whose leading dim
+    does not divide the mesh (per-view ``focal``, ...) are replicated by
+    ``shard_batch``. The reference's eval parallelism is 40 DataLoader CPU
+    workers feeding one GPU (ref scripts num_workers=40); here the model
+    itself fans out over the chips."""
+    from ..parallel.mesh import shard_batch
+
+    for batch in batches:
+        valid = batch.pop("_valid", None)
+        batch = shard_batch(batch, mesh)
+        if valid is not None:
+            batch["_valid"] = valid
+        yield batch
+
+
+def _maybe_mesh(state, batches, mesh):
+    """Replicate the eval state on ``mesh`` and shard the batch stream;
+    no-op when mesh is None (single device)."""
+    if mesh is None:
+        return state, batches
+    import jax
+
+    from ..parallel.mesh import replicate
+
+    return jax.device_put(state, replicate(mesh)), _mesh_sharded(batches, mesh)
+
+
 def synthetic_batches(data: Dict, batch_size: int) -> Iterable[Dict]:
     import jax.numpy as jnp
 
@@ -142,14 +173,15 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
 # ---------------------------------------------------------------------------
 
 def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
-                    save_full=False, int8=False, int8_calib_n=8):
+                    save_full=False, int8=False, int8_calib_n=8, mesh=None):
     """Eval every batch, return (outputs list, metrics dict).
 
     ``int8`` evaluates the int8 PTQ serving configuration instead of the
     bf16 trunk (ops/int8_trunk.py) — THE tool for measuring what
     quantized deployment costs in MPJPE/PA-MPJPE on a given dataset.
     Activation calibration uses the first ``int8_calib_n`` eval images
-    (clip rates printed — see _int8_shim)."""
+    (clip rates printed — see _int8_shim). ``mesh``: data-parallel eval
+    over a device mesh (see _mesh_sharded)."""
     import jax
     import jax.numpy as jnp
 
@@ -160,6 +192,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
 
     if int8:
         model, batches = _int8_shim(model, state, batches, int8_calib_n)
+    state, batches = _maybe_mesh(state, batches, mesh)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
@@ -277,7 +310,7 @@ def _int8_shim(model, state, batches, calib_n: int = 8):
 
 
 def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
-                       cfg, family, int8=False, int8_calib_n=8):
+                       cfg, family, int8=False, int8_calib_n=8, mesh=None):
     """Eval the hmr / muhmr / copenet_singleview families: outputs pkl in
     the reference single-view format (pred_angles, pred_smpltrans via the
     weak-cam reprojection for the weak families — ref hmr.py:178-193,
@@ -296,6 +329,7 @@ def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
 
     if int8:
         model, batches = _int8_shim(model, state, batches, int8_calib_n)
+    state, batches = _maybe_mesh(state, batches, mesh)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_singleview_step_fns(model, smplx_params, cfg, tx, family)
@@ -389,7 +423,8 @@ def robust_crossview_consistency(
 def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
                          batch_size: int, cfg, save_full=False,
                          err_idcs: Optional[np.ndarray] = None,
-                         out_size: int = 224, int8=False, int8_calib_n=8):
+                         out_size: int = 224, int8=False, int8_calib_n=8,
+                         mesh=None):
     """Real-data (self-supervised regime) compile: outputs pkl with the raw
     135-d pose state per view (the benchtest interchange,
     ref copenet_real_res_compile.py:264-276) + the robust cross-view
@@ -405,6 +440,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
         model, batches = _int8_shim(model, state, batches, int8_calib_n)
+    state, batches = _maybe_mesh(state, batches, mesh)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_twoview_step_fns(
@@ -482,7 +518,7 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
 def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
                             batch_size: int, cfg, cam: int,
                             out_size: int = 224, int8=False,
-                            int8_calib_n=8):
+                            int8_calib_n=8, mesh=None):
     """Real-data Baseline (hmr) compile for ONE camera — the reference
     evaluates two hmr nets pinned to cam0/cam1 via ``first_cam`` and writes
     one outputs pkl per camera (ref scripts/hmr_real_res_compile.py; the
@@ -501,6 +537,7 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
     batches = real_batches(ds, batch_size, out_size=out_size)
     if int8:
         model, batches = _int8_shim(model, state, batches, int8_calib_n)
+    state, batches = _maybe_mesh(state, batches, mesh)
 
     tx = make_optimizer(cfg.lr)
     _, eval_step = make_real_singleview_step_fns(
@@ -569,6 +606,13 @@ def main(argv=None):
                         "the printed clip rates tell you whether it "
                         "covered the data's activation range (raise on "
                         "captures with exposure/contrast swings)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="data-parallel eval over the first N devices: the "
+                        "state is replicated, every eval batch is sharded "
+                        "on its batch axis, and the jitted forward runs "
+                        "SPMD across the chips (use a --batch_size "
+                        "divisible by N; non-divisible batches fall back "
+                        "to replication, correct but unaccelerated)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--vposer_ckpt", default=None,
@@ -595,6 +639,19 @@ def main(argv=None):
     from ..data import make_synthetic_dataset
     from ..models import MODEL_REGISTRY, family_init_args
     from ..train.state import create_train_state
+
+    mesh = None
+    if args.mesh:
+        from ..parallel.mesh import make_mesh
+
+        if args.mesh > len(jax.devices()):
+            p.error(f"--mesh {args.mesh} > {len(jax.devices())} available "
+                    "devices")
+        if args.batch_size % args.mesh:
+            print(f"WARNING: --batch_size {args.batch_size} not divisible "
+                  f"by --mesh {args.mesh}; batches will be replicated, not "
+                  "sharded", flush=True)
+        mesh = make_mesh(args.mesh)
 
     cfg = TrainConfig(model=args.model, batch_size=args.batch_size,
                       img_res=args.img_res)
@@ -696,7 +753,7 @@ def main(argv=None):
                     outputs, metrics = compile_real_singleview(
                         state, model, smplx_params, vposer_params, ds, B,
                         cfg, cam, out_size=args.img_res, int8=args.int8,
-                        int8_calib_n=args.int8_calib_n,
+                        int8_calib_n=args.int8_calib_n, mesh=mesh,
                     )
                     cam_splits.append(outputs)
                     metrics_by_split[f"{split}_cam{cam}"] = metrics
@@ -722,7 +779,7 @@ def main(argv=None):
                 state, model, smplx_params, vposer_params, ds, B, cfg,
                 save_full=args.save_full, err_idcs=err,
                 out_size=args.img_res, int8=args.int8,
-                int8_calib_n=args.int8_calib_n,
+                int8_calib_n=args.int8_calib_n, mesh=mesh,
             )
             per_split.append(outputs)
             metrics_by_split[split] = metrics
@@ -759,13 +816,13 @@ def main(argv=None):
                 outputs, metrics = compile_twoview(
                     state, model, smplx_params, splits[split], cfg,
                     save_full=args.save_full, int8=args.int8,
-                    int8_calib_n=args.int8_calib_n,
+                    int8_calib_n=args.int8_calib_n, mesh=mesh,
                 )
             else:
                 outputs, metrics = compile_singleview(
                     state, model, smplx_params, splits[split], cfg,
                     args.model, int8=args.int8,
-                    int8_calib_n=args.int8_calib_n,
+                    int8_calib_n=args.int8_calib_n, mesh=mesh,
                 )
             per_split.append(outputs)
             metrics_by_split[split] = metrics

@@ -328,3 +328,28 @@ def test_eval_covers_all_frames_when_batch_does_not_divide(tmp_path, capsys):
     ])
     capsys.readouterr()
     assert rows(out_pkl, 0, "pred_angles0") == 5
+
+
+def test_compile_results_mesh_equivalence(tmp_path, capsys):
+    """--mesh N: data-parallel eval over the device mesh must match the
+    single-device eval numerically (state replicated, batches sharded,
+    GSPMD runs the same program SPMD) — including through a padded tail
+    batch, whose pad rows replicate instead of sharding cleanly."""
+    import json
+
+    from airpose_tpu.eval.compile_results import main
+
+    metrics = {}
+    for tag, extra in (("single", []), ("mesh", ["--mesh", "8"])):
+        out_pkl = str(tmp_path / f"mesh_{tag}.pkl")
+        main([
+            "--model", "copenet_twoview", "--datapath", "synthetic://20",
+            "--out", out_pkl, "--batch_size", "8", "--img_res", "64",
+            *extra,
+        ])
+        capsys.readouterr()
+        with open(out_pkl + ".metrics.json") as f:
+            metrics[tag] = json.load(f)["test"]
+    for k in metrics["single"]:
+        assert np.isclose(metrics["single"][k], metrics["mesh"][k],
+                          rtol=1e-4, atol=1e-5), (k, metrics)
