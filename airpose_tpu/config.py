@@ -55,6 +55,9 @@ class TrainConfig:
                                      # train forward (int8 deployment
                                      # recovery path — ops/qat.py)
     qat_levels: float = 127.0        # quant grid (127 = int8)
+    qat_act: bool = False            # also fake-quant the trunk conv INPUT
+                                     # activations (per-tensor STE at the
+                                     # deployed quantization points)
     loss: LossWeights = dataclasses.field(default_factory=LossWeights)
     real_loss: RealLossWeights = dataclasses.field(default_factory=RealLossWeights)
     # TPU execution

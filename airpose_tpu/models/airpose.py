@@ -72,9 +72,10 @@ class HMR(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
 
     def setup(self):
-        self.trunk = ResNet50(dtype=self.dtype)
+        self.trunk = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core = RegressorCore(
             head_dims=(132, 10, 3), head_names=("decpose", "decshape", "deccam")
         )
@@ -128,9 +129,10 @@ class SingleViewFullCam(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
 
     def setup(self):
-        self.trunk = ResNet50(dtype=self.dtype)
+        self.trunk = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core = RegressorCore(
             head_dims=(135, 10), head_names=("decpose", "decshape")
         )
@@ -189,9 +191,10 @@ class MuHMR(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
 
     def setup(self):
-        self.trunk = ResNet50(dtype=self.dtype)
+        self.trunk = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core = RegressorCore(
             head_dims=(132, 10, 3), head_names=("decpose", "decshape", "deccam")
         )
@@ -255,9 +258,10 @@ class AirPoseTwoView(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
 
     def setup(self):
-        self.trunk = ResNet50(dtype=self.dtype)
+        self.trunk = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core = RegressorCore(
             head_dims=(135, 10), head_names=("decpose", "decshape")
         )
@@ -346,10 +350,11 @@ class AirPoseTwoViewSep(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
 
     def setup(self):
-        self.trunk0 = ResNet50(dtype=self.dtype)
-        self.trunk1 = ResNet50(dtype=self.dtype)
+        self.trunk0 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
+        self.trunk1 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core0 = RegressorCore(
             head_dims=(135, 10), head_names=("decpose", "decshape")
         )
@@ -428,13 +433,14 @@ class AirPoseTwoViewSepView(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
     view: int = 0
 
     def setup(self):
         # mirror AirPoseTwoViewSep's parameter tree so sep checkpoints
         # restore directly
-        self.trunk0 = ResNet50(dtype=self.dtype)
-        self.trunk1 = ResNet50(dtype=self.dtype)
+        self.trunk0 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
+        self.trunk1 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
         self.core0 = RegressorCore(
             head_dims=(135, 10), head_names=("decpose", "decshape")
         )

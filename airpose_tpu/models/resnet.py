@@ -19,12 +19,17 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 class Bottleneck(nn.Module):
-    """1x1 → 3x3(stride) → 1x1(×4) with identity/projection shortcut."""
+    """1x1 → 3x3(stride) → 1x1(×4) with identity/projection shortcut.
+
+    ``act_fq``: STE fake-quant grid for activation-QAT — applied to the
+    input of every conv, the exact points the deployed int8 trunk
+    quantizes activations (ops/int8_trunk._qconv); None = off."""
 
     planes: int
     stride: int = 1
     project: bool = False
     dtype: Any = jnp.float32
+    act_fq: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,7 +43,19 @@ class Bottleneck(nn.Module):
         conv = partial(
             nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_init
         )
+        if self.act_fq is not None:
+            from ..ops.qat import fake_quant_act
+
+            def fq(t):
+                return fake_quant_act(t, self.act_fq)
+        else:
+            def fq(t):
+                return t
+        # the identity shortcut carries the UNQUANTIZED activation, exactly
+        # like the deployed int8 trunk (int8_trunk: `res = h` dequantized);
+        # only conv inputs see the grid
         residual = x
+        x = fq(x)
         y = conv(self.planes, (1, 1), name="conv1")(x)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
@@ -48,10 +65,10 @@ class Bottleneck(nn.Module):
             strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)),
             name="conv2",
-        )(y)
+        )(fq(y))
         y = norm(name="bn2")(y)
         y = nn.relu(y)
-        y = conv(self.planes * 4, (1, 1), name="conv3")(y)
+        y = conv(self.planes * 4, (1, 1), name="conv3")(fq(y))
         y = norm(name="bn3")(y)
         if self.project:
             residual = conv(
@@ -72,6 +89,8 @@ class ResNet50(nn.Module):
 
     dtype: Any = jnp.float32
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    act_fq: Any = None  # activation-QAT grid (ops/qat.fake_quant_act);
+    #                     the stem is excluded, matching deployment
 
     def _stem(self, x, train: bool):
         x = x.astype(self.dtype)
@@ -109,6 +128,7 @@ class ResNet50(nn.Module):
                     stride=stride,
                     project=(block == 0),
                     dtype=self.dtype,
+                    act_fq=self.act_fq,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
         if last_stage < 3:

@@ -2,7 +2,7 @@ from .int8_trunk import (calibrate_act_scales, calibration_clip_rates,
                          quantize_trunk_params,
                          resnet50_int8_infer, twoview_int8_forward,
                          Int8TwoView, Int8Inference)
-from .qat import fake_quant_trunk_params, fake_quant_weight
+from .qat import fake_quant_act, fake_quant_trunk_params, fake_quant_weight
 from .int8_bottleneck import (int8_block, quantize_trunk_pallas,
                               resnet50_int8_pallas_infer)
 from .fused_bottleneck import (
@@ -22,6 +22,7 @@ __all__ = [
     "quantize_trunk_params",
     "calibrate_act_scales",
     "calibration_clip_rates",
+    "fake_quant_act",
     "fake_quant_trunk_params",
     "fake_quant_weight",
     "resnet50_int8_infer",

@@ -18,10 +18,19 @@ Per-channel fake-quant on the UNFOLDED kernel models the deployed
 each output channel by f_c = γ_c/σ_c, which rescales that channel's quant
 scale by |f_c| and flips signs symmetrically — the quantization error
 commutes with the fold (tested: fold∘q ≡ q∘fold in
-tests/test_qat.py). Activation quantization is NOT modeled here (train-
-mode BN reshapes activations every step; per-tensor activation scales are
-calibrated at deployment instead, with `calibration_clip_rates` as the
-adequacy check).
+tests/test_qat.py).
+
+Activation quantization has its own (opt-in) fake-quant: `--qat_act`
+applies per-tensor STE fake-quant (`fake_quant_act`) at the SAME points
+the deployed int8 trunk quantizes activations — the input of every
+residual-stage conv (ops/int8_trunk._qconv). The train-time scale is the
+dynamic per-batch abs-max, the training analogue of the deployed static
+calibrated scale (same grid formula as int8_trunk._quantize_act); it
+models the rounding error of activation quantization, which is the
+dominant error mode whenever calibration is adequate (clip rates ≈ 0 —
+the printed diagnostic). BN runs in train mode upstream of each
+fake-quant, so the activation distribution the quantizer sees converges
+to the eval-mode one as the running stats do.
 
 The stem conv is excluded — deployment keeps it bf16
 (ops/int8_trunk.py: "the stem always stays bf16").
@@ -47,6 +56,20 @@ def fake_quant_weight(k: jnp.ndarray, levels: float = 127.0) -> jnp.ndarray:
     scale = jnp.maximum(jnp.max(flat, axis=0) / levels, 1e-12)
     q = jnp.clip(jnp.round(k / scale), -levels, levels) * scale
     return k + jax.lax.stop_gradient(q - k)
+
+
+def fake_quant_act(x: jnp.ndarray, levels: float = 127.0) -> jnp.ndarray:
+    """Per-tensor symmetric STE fake-quant of an activation. Dynamic
+    abs-max scale (stop-gradded), the train-time analogue of the deployed
+    static calibrated per-tensor scale; grid formula ≡
+    int8_trunk._quantize_act. Keeps the input dtype (the trunk carries
+    bf16 between ops) but quantizes in f32 — bf16 ulp at 127 is ~0.5."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(
+        jax.lax.stop_gradient(jnp.max(jnp.abs(xf))) / levels, 1e-12
+    )
+    q = jnp.clip(jnp.round(xf / s), -levels, levels) * s
+    return (xf + jax.lax.stop_gradient(q - xf)).astype(x.dtype)
 
 
 def fake_quant_trunk_params(params, levels: float = 127.0):

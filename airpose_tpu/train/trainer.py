@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "frozen quantized trunk")
     t.add_argument("--qat_levels", type=float, default=127.0,
                    help="fake-quant grid (127 = int8 deployment)")
+    t.add_argument("--qat_act", action="store_true",
+                   help="with --qat: also fake-quant the trunk conv input "
+                        "activations (per-tensor STE at the deployed "
+                        "int8 quantization points — the recovery path "
+                        "when the calibration clip-rate report shows "
+                        "activation clipping)")
     t.add_argument("--pretrained_checkpoint", default=None,
                    help="orbax dir to initialize from (fine-tune)")
     t.add_argument("--smplx_model_dir", default=None,
@@ -121,7 +127,8 @@ def make_config(args):
         smpltrans_noise_sigma=args.smpltrans_noise_sigma,
         summary_steps=args.summary_steps,
         train_reg_only=args.train_reg_only, qat=args.qat,
-        qat_levels=args.qat_levels, loss=loss, seed=args.seed,
+        qat_levels=args.qat_levels, qat_act=args.qat_act,
+        loss=loss, seed=args.seed,
     )
 
 
@@ -396,7 +403,8 @@ def main(argv=None):
 
     # ---- model + steps ----
     model_cls = MODEL_REGISTRY[cfg.model]
-    model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16)
+    model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16,
+                      act_fq=cfg.qat_levels if cfg.qat_act else None)
     it = train_batches()  # one iterator: shared by init probe and the loop
     sample = next(it)
     B = sample["images"].shape[0]

@@ -102,8 +102,75 @@ def test_qat_recovers_quantization_degradation(rng):
     assert np.isfinite(qat_loss)
 
 
+def test_fake_quant_act_grid_and_ste(rng):
+    """Activation fake-quant: per-tensor grid ≡ the deployed
+    int8_trunk._quantize_act dequantized values (same scale), and the
+    gradient is straight-through."""
+    from airpose_tpu.ops import fake_quant_act
+    from airpose_tpu.ops.int8_trunk import _quantize_act
+
+    x = jnp.asarray(rng.normal(size=(2, 5, 5, 8)).astype(np.float32) * 3.0)
+    fq = np.asarray(fake_quant_act(x, 127.0))
+    q, s = _quantize_act(x)  # dynamic per-tensor scale = max|x|/127
+    np.testing.assert_allclose(fq, np.asarray(q, np.float32) * float(s),
+                               rtol=1e-6, atol=1e-6)
+
+    g = jax.grad(lambda t: jnp.sum(fake_quant_act(t, 7.0) * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0)
+
+    # bf16 in → bf16 out (the trunk carries bf16 between ops)
+    assert fake_quant_act(x.astype(jnp.bfloat16), 127.0).dtype == jnp.bfloat16
+
+
+def test_qat_act_recovers_activation_quantization_degradation(rng):
+    """Activation-QAT recovery: at a coarse activation grid (levels=3 —
+    activation rounding is far more benign than weight rounding on this
+    family, int8/levels=127 is measured accuracy-free and even levels=7
+    costs <4%) the act-quantized forward of a briefly-trained model
+    degrades vs bf16; fine-tuning THROUGH the activation fake-quant
+    (model act_fq, STE) recovers most of the damage. Mirrors the
+    weight-QAT recovery test with the orthogonal quantizer."""
+    smplx_small = synthetic_smplx_params(num_vertices=222, seed=3)
+    dataset = make_synthetic_dataset(
+        smplx_small, num_samples=8, seed=5, img_size=64, blob_sigma=3.0)
+    batch = batch_slice(dataset, 0, B)
+
+    levels = 3.0
+    cfg = TrainConfig(lr=1e-4, batch_size=B)
+    model = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters)
+    model_act = MODEL_REGISTRY["copenet_twoview"](
+        iters=cfg.reg_iters, act_fq=levels)
+    in_trans = jnp.full_like(batch["gt_trans"], 0.5)
+    state, tx = create_train_state(
+        model, (batch["images"], batch["bb"], in_trans),
+        jax.random.PRNGKey(0), lr=cfg.lr)
+    train_step, eval_step = make_twoview_step_fns(model, smplx_small, cfg, tx)
+    act_train_step, act_eval_step = make_twoview_step_fns(
+        model_act, smplx_small, cfg, tx)
+
+    key = jax.random.PRNGKey(42)
+    for _ in range(15):  # plain pre-training
+        key, sub = jax.random.split(key)
+        state, _ = train_step(state, batch, sub)
+    bf16_loss = float(eval_step(state, batch)[0]["loss"])
+    act_ptq_loss = float(act_eval_step(state, batch)[0]["loss"])
+    damage = act_ptq_loss - bf16_loss
+    assert damage > 0.05 * bf16_loss, (
+        "fixture no longer shows activation-PTQ degradation at this grid",
+        bf16_loss, act_ptq_loss)
+
+    for _ in range(20):  # fine-tune through the activation quantizer
+        key, sub = jax.random.split(key)
+        state, _ = act_train_step(state, batch, sub)
+    rec_loss = float(act_eval_step(state, batch)[0]["loss"])
+    assert rec_loss < bf16_loss + 0.5 * damage, (
+        bf16_loss, act_ptq_loss, rec_loss)
+    assert np.isfinite(rec_loss)
+
+
 def test_trainer_cli_qat_smoke(tmp_path):
-    """--qat end to end through the trainer CLI (tiny synthetic run)."""
+    """--qat (+ --qat_act) end to end through the trainer CLI (tiny
+    synthetic run)."""
     from airpose_tpu.train.trainer import main
 
     main([
@@ -111,6 +178,7 @@ def test_trainer_cli_qat_smoke(tmp_path):
         "--datapath", "synthetic://8", "--log_dir", str(tmp_path),
         "--batch_size", "4", "--val_batch_size", "4", "--max_steps", "2",
         "--val_every", "2", "--img_res", "64", "--qat", "--qat_levels", "15",
+        "--qat_act",
     ])
     import os
 
