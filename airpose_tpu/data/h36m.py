@@ -19,14 +19,11 @@ the real-data reader's missing-3D-GT posture (dsets/copenet_real.py:
 244-258 fills NaN).
 """
 
-import os
 import os.path as osp
 import pickle
 from typing import Dict, Sequence
 
 import numpy as np
-
-from .. import constants as C
 
 # the 17 movable H36M joints of the 32-joint skeleton (ref h36m.py:20)
 H36M_MOVABLE = (0, 1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19, 25, 26, 27)
@@ -68,9 +65,15 @@ class H36MDataset:
                 K = np.eye(3, dtype=np.float32)
                 K[0, 0], K[1, 1] = np.asarray(g["f"][()]).reshape(2)
                 K[:2, 2] = np.asarray(g["c"][()]).reshape(2)
+            # h36m_cameras.h5 stores (R, T) with T = camera center in
+            # world coords; the camera transform is x_cam = Rᵀ(x − T)
+            # (ref utils/utils.py:96-107 npPerspProj: extr_rot = Rᵀ,
+            # extr_trans = −Rᵀ·T, points_local = x·R + extr_trans).
+            # Store the world→cam [Rᵀ | −Rᵀ·T] so `extr` means the same
+            # thing as the real-data reader's per-frame extrinsics.
             extr = np.eye(4, dtype=np.float32)
-            extr[:3, :3] = R
-            extr[:3, 3] = T
+            extr[:3, :3] = R.T
+            extr[:3, 3] = -R.T @ T
             self._cam_cache[key] = (K, extr)
         return self._cam_cache[key]
 

@@ -164,6 +164,10 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
                          out_size=out_size)
         b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
         b["focal"] = focal
+        # 1/0 mask over rows: the eval loss drops the tail batch's pad
+        # rows exactly (losses._row_mean); predictions are sliced host-side
+        b["row_weight"] = jnp.asarray(
+            (np.arange(batch_size) < k).astype(np.float32))
         b["_valid"] = k
         yield b
 
@@ -456,9 +460,9 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
         valid = _pop_valid(batch)
         B = int(batch["images"].shape[0])
         metrics, out = eval_step(state, batch)
-        # the padded tail batch's loss over-weights its last real frame by
-        # the pad count; weight batches by valid rows so the reported mean
-        # loss stays a per-frame mean
+        # the tail batch's loss is already an exact mean over its valid
+        # rows (row_weight mask in the loss); weighting batches by valid
+        # rows makes the reported loss an exact per-frame mean
         losses.append((float(metrics["loss"]), valid))
         pose = np.asarray(out.pose)
         betas = np.asarray(out.betas)

@@ -40,8 +40,6 @@ framework's own deployment story. Wired in as `TrainConfig.qat` →
 `--qat` on the trainer CLI.
 """
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

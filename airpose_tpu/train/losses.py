@@ -39,6 +39,20 @@ def _limb_weight_rotmats(sq, w):
     return sq
 
 
+def _row_mean(t, rw):
+    """Batch mean of ``t`` (leading axis = batch), optionally weighted
+    per row. With ``rw=None`` this is exactly ``t.mean()`` (the train
+    path — bit-identical to the unweighted code). With a (B,) weight it
+    is the weighted mean of per-row means — the eval path uses 1/0
+    weights so tail-padded duplicate rows drop out of the reported loss
+    EXACTLY (eval/compile_results pads the final partial batch to keep
+    shapes static)."""
+    if rw is None:
+        return t.mean()
+    m = t.reshape(t.shape[0], -1).mean(axis=1)
+    return (m * rw).sum() / jnp.maximum(rw.sum(), 1.0)
+
+
 def _sq(a, b):
     return (a - b) ** 2
 
@@ -389,25 +403,27 @@ def real_twoview_loss(
         rotmat[:, :, 0], trans, joints, batch["intr"], focal
     )
 
+    rw = batch.get("row_weight")  # (B,) 1/0 eval tail mask; None in training
     kp = batch["gt_j2d_conf"]
     e2d = _sq(j2d[..., :22, :], kp[..., :22, :2]) * kp[..., :22, 2:]
     e2d = _limb_weight_joints(e2d, w.limbs2d)
-    loss_kp2d = e2d.mean()
+    loss_kp2d = _row_mean(e2d, rw)
 
     # VPoser prior on predicted body pose (both views folded).
     pose_aa = rotmat_to_aa(rotmat[:, :, 1:]).reshape(B * 2, 63)
     mu, sigma = vposer_encode(vposer_params, pose_aa)
     z = vposer_rsample(mu, sigma, key)
-    loss_vposer = (z ** 2).mean() * 2.0  # two views summed as in ref (:136-137)
+    # two views summed as in ref (:136-137)
+    loss_vposer = _row_mean((z ** 2).reshape(B, 2, -1), rw) * 2.0
 
-    loss_pose = _sq(rotmat[:, 0, 1:], rotmat[:, 1, 1:]).mean()
+    loss_pose = _row_mean(_sq(rotmat[:, 0, 1:], rotmat[:, 1, 1:]), rw)
     loss_betas = (
-        (pred_betas[:, 0] ** 2).mean()
-        + (pred_betas[:, 1] ** 2).mean()
-        + _sq(pred_betas[:, 0], pred_betas[:, 1]).mean()
+        _row_mean(pred_betas[:, 0] ** 2, rw)
+        + _row_mean(pred_betas[:, 1] ** 2, rw)
+        + _row_mean(_sq(pred_betas[:, 0], pred_betas[:, 1]), rw)
     )
-    barrier = (jnp.exp(-trans[:, 0, 2]) ** 2).mean() + \
-              (jnp.exp(-trans[:, 1, 2]) ** 2).mean()
+    barrier = _row_mean(jnp.exp(-trans[:, 0, 2]) ** 2, rw) + \
+              _row_mean(jnp.exp(-trans[:, 1, 2]) ** 2, rw)
 
     total = w.total_scale * (
         w.keypoint2d * loss_kp2d
@@ -459,17 +475,18 @@ def real_singleview_loss(
     )
     j2d = _weak_cam_project(rotmat[:, 0], pred_cam, out.joints, focal, img_res)
 
+    rw = batch.get("row_weight")  # (B,) 1/0 eval tail mask; None in training
     kp = batch["gt_j2d_crop_conf"][:, view]
     e2d = _sq(j2d[:, :22], kp[:, :22, :2]) * kp[:, :22, 2:]
     e2d = _limb_weight_joints(e2d, w.limbs2d)
-    loss_kp2d = e2d.mean()
+    loss_kp2d = _row_mean(e2d, rw)
 
     pose_aa = rotmat_to_aa(rotmat[:, 1:]).reshape(B, 63)
     mu, sigma = vposer_encode(vposer_params, pose_aa)
     z = vposer_rsample(mu, sigma, key)
-    loss_vposer = (z ** 2).mean()
-    loss_betas = (pred_betas ** 2).mean()
-    barrier = (jnp.exp(-cam_t[:, 2]) ** 2).mean()
+    loss_vposer = _row_mean(z ** 2, rw)
+    loss_betas = _row_mean(pred_betas ** 2, rw)
+    barrier = _row_mean(jnp.exp(-cam_t[:, 2]) ** 2, rw)
 
     total = w.total_scale * (
         w.keypoint2d * loss_kp2d

@@ -353,3 +353,50 @@ def test_compile_results_mesh_equivalence(tmp_path, capsys):
     for k in metrics["single"]:
         assert np.isclose(metrics["single"][k], metrics["mesh"][k],
                           rtol=1e-4, atol=1e-5), (k, metrics)
+
+
+def test_eval_tail_loss_is_exact_masked_mean(rng):
+    """The row_weight mask makes a padded tail batch's loss EXACTLY the
+    mean over its valid rows: a (B=4, valid=3) padded batch must report
+    the same loss as the unpadded 3-row batch. VPoser weight is zeroed so
+    the comparison is free of rsample shape-dependence (every other term
+    is deterministic per row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from airpose_tpu.bodymodel import init_vposer_params, synthetic_smplx_params
+    from airpose_tpu.config import RealLossWeights
+    from airpose_tpu.train.losses import real_twoview_loss
+
+    smplx_params = synthetic_smplx_params(num_vertices=99, seed=4)
+    vposer = init_vposer_params(0)
+    w = RealLossWeights(vposer=0.0)
+    key = jax.random.PRNGKey(0)
+
+    def mk(n):
+        return {
+            "gt_j2d_conf": jnp.asarray(
+                rng.uniform(0, 1, (n, 2, 22, 3)).astype(np.float32)
+                * np.asarray([900, 500, 1], np.float32)),
+            "intr": jnp.broadcast_to(
+                jnp.asarray([[1475.0, 0, 960], [0, 1475.0, 540], [0, 0, 1]]),
+                (n, 2, 3, 3)),
+        }
+
+    pose = jnp.asarray(rng.normal(0, 0.3, (4, 2, 135)).astype(np.float32)
+                       + np.concatenate([np.full(3, 0.3, np.float32),
+                                         np.zeros(132, np.float32)]))
+    betas = jnp.asarray(rng.normal(0, 1, (4, 2, 10)).astype(np.float32))
+    base = mk(4)
+    batch3 = {k: v[:3] for k, v in base.items()}
+    batch4 = dict(base)
+    # row 3 is garbage — it must not affect the masked loss
+    batch4["gt_j2d_conf"] = batch4["gt_j2d_conf"].at[3].set(1e6)
+    batch4["row_weight"] = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    loss4, m4 = real_twoview_loss(pose, betas, batch4, smplx_params,
+                                  vposer, w, key)
+    loss3, m3 = real_twoview_loss(pose[:3], betas[:3], batch3, smplx_params,
+                                  vposer, w, key)
+    np.testing.assert_allclose(float(loss4), float(loss3), rtol=1e-5)
+    np.testing.assert_allclose(float(m4["loss_keypoints"]),
+                               float(m3["loss_keypoints"]), rtol=1e-5)

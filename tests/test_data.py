@@ -478,10 +478,21 @@ def _write_fake_h36m(root, n=3):
         pickle.dump(db, f)
     with h5py.File(os.path.join(root, "dsets", "h36m_cameras.h5"), "w") as h5:
         g = h5.create_group("subject1")
+        subject = np.asarray([0.0, 0.0, 4000.0])  # mm, fixture GT center
         for cam in (1, 2, 3, 4):
+            # NON-trivial (R, T) in the h36m convention (T = camera center
+            # in world mm, x_cam = Rᵀ(x − T)): camera placed off-axis,
+            # looking at the subject — R's third COLUMN is the view dir,
+            # so an identity-convention loader projects garbage here
             c = g.create_group(f"camera{cam}")
-            c["R"] = np.eye(3)
-            c["T"] = np.zeros((3, 1))
+            T = np.asarray([400.0 * cam, -300.0, 500.0])
+            z = subject - T
+            z = z / np.linalg.norm(z)
+            x = np.cross([0.0, 1.0, 0.0], z)
+            x = x / np.linalg.norm(x)
+            y = np.cross(z, x)
+            c["R"] = np.stack([x, y, z], axis=1)
+            c["T"] = T.reshape(3, 1)
             c["f"] = np.full((2, 1), 1100.0)
             c["c"] = np.asarray([[500.0], [500.0]])
 
@@ -501,6 +512,20 @@ def test_h36m_reader_canonical_batch(tmp_path, rng):
     jc = hb["gt_joints"][0, 0]
     uv = (jc / jc[:, 2:]) @ hb["intr"][0, 0].T
     np.testing.assert_allclose(uv[:, :2], hb["gt_j2d"][0, 0], atol=1e-3)
+
+    # reference-convention lock (nontrivial R, T): cam-frame joints must
+    # equal npPerspProj's Rᵀ(x − T) = (x − T)·R (ref utils/utils.py:96-107)
+    import h5py
+    from airpose_tpu.data.h36m import H36M_MOVABLE
+
+    with h5py.File(tmp_path / "dsets" / "h36m_cameras.h5", "r") as h5:
+        R = np.asarray(h5["subject1"]["camera1"]["R"][()])
+        T = np.asarray(h5["subject1"]["camera1"]["T"][()]).reshape(3)
+    with open(tmp_path / "dsets" / "h36m_db.pkl", "rb") as f:
+        gt_mm = pickle.load(f)[0]["gt"].reshape(-1, 3)[list(H36M_MOVABLE)]
+    expected = (gt_mm / 1000.0 - T / 1000.0) @ R
+    np.testing.assert_allclose(jc, expected, atol=1e-4)
+    assert (jc[:, 2] > 0).all()  # the camera actually faces the subject
     b = finish_batch(hb, jax.random.PRNGKey(0), deterministic=True)
     assert b["images"].shape == (2, 2, 224, 224, 3)
     assert np.isfinite(np.asarray(b["images"])).all()
