@@ -29,6 +29,8 @@ class MixedDataset:
         src = self.a if rng.random() < self.p_a else self.b
         idx = [i % len(src) for i in indices]
         out = src.host_batch(idx, rng, **kwargs)
-        out["mixed_source"] = np.asarray(
-            [0 if src is self.a else 1], np.int32)
+        # per-row source tag — keeps the canonical every-array-leads-with-B
+        # batch layout so the batch stays shardable over a device mesh
+        out["mixed_source"] = np.full(
+            len(indices), 0 if src is self.a else 1, np.int32)
         return out

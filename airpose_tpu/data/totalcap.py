@@ -84,9 +84,19 @@ class TotalCaptureDataset:
             for v, cam in enumerate(orders[b]):
                 c = self.cams[f"cam{cam}"]
                 out["intr"][b, v] = np.asarray(c["intr"], np.float32)
+                # cameras.pkl's (extr, trans) is the CAMERA POSE — the
+                # reference feeds [extr | trans] to npPerspProj, which
+                # documents it as "camera pose matrix" and inverts it
+                # (extr_rot = Rᵀ, extr_trans = −Rᵀ·T, ref
+                # utils/utils.py:96-107). Store the world→cam
+                # [Rᵀ | −Rᵀ·T] so `extr` means the same thing as every
+                # other reader's extrinsics (same convention fix as
+                # data/h36m.py).
+                R = np.asarray(c["extr"], np.float32)
+                T = np.asarray(c["trans"], np.float32).ravel()
                 extr = np.eye(4, dtype=np.float32)
-                extr[:3, :3] = np.asarray(c["extr"], np.float32)
-                extr[:3, 3] = np.asarray(c["trans"], np.float32).ravel()
+                extr[:3, :3] = R.T
+                extr[:3, 3] = -R.T @ T
                 out["extr"][b, v] = extr
                 # full-frame person box (the reference consumed whole
                 # frames without boxes)

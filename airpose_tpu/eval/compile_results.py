@@ -106,9 +106,14 @@ def synthetic_batches(data: Dict, batch_size: int) -> Iterable[Dict]:
     import jax.numpy as jnp
 
     n = data["images"].shape[0]
+    # one device→host transfer per ARRAY, outside the batch loop —
+    # make_synthetic_dataset returns device arrays, and np.asarray inside
+    # the loop would re-transfer the full dataset every batch (the
+    # transfer link is this environment's bottleneck, PERF.md)
+    host = {key: np.asarray(v) for key, v in data.items()}
     for idx, k in _padded_ranges(n, batch_size):
-        b = {key: jnp.asarray(np.asarray(v)[np.asarray(idx)])
-             for key, v in data.items()}
+        sel = np.asarray(idx)
+        b = {key: jnp.asarray(v[sel]) for key, v in host.items()}
         b["_valid"] = k
         yield b
 
@@ -303,13 +308,24 @@ def _int8_shim(model, state, batches, calib_n: int = 8):
     model = Int8Inference(
         model, {"params": state.params, "batch_stats": state.batch_stats},
         imgs[:calib_n])
-    sample = jnp.asarray(peeked[-1]["images"])
+    # measure clip rates OUT of sample: on the first batch past the
+    # calibration prefix (abs-max calibration guarantees ~0 clipping on
+    # the calibration images themselves, which would bias the adequacy
+    # signal toward zero)
+    held_out = True
+    try:
+        peeked.append(next(batches))
+        sample = jnp.asarray(peeked[-1]["images"])
+    except StopIteration:
+        held_out = False
+        sample = jnp.asarray(peeked[-1]["images"])
     rates = model.clip_report(sample)
     vals = np.asarray(list(rates.values()))
     worst = max(rates, key=rates.get)
-    print(f"int8 calibration: {min(n_imgs, calib_n)} images; clip rate "
-          f"mean {vals.mean():.2e}, max {vals.max():.2e} ({worst}) over "
-          f"{len(rates)} tensors", flush=True)
+    print(f"int8 calibration: {min(n_imgs, calib_n)} images; "
+          f"{'held-out' if held_out else 'IN-SAMPLE (dataset exhausted)'} "
+          f"clip rate mean {vals.mean():.2e}, max {vals.max():.2e} "
+          f"({worst}) over {len(rates)} tensors", flush=True)
     return model, itertools.chain(peeked, batches)
 
 

@@ -67,8 +67,10 @@ def _quantize_act(x: jnp.ndarray, s=None, clip_collect=None,
     if s is None:
         s = jnp.maximum(jnp.max(jnp.abs(x)) / 127.0, 1e-12)
     elif clip_collect is not None:
+        # saturation boundary: |x| ≤ 127.5·s still rounds to ±127 exactly,
+        # so only beyond that does the clip change the quantized value
         clip_collect[name] = jnp.mean(
-            (jnp.abs(x) > 127.0 * s).astype(jnp.float32))
+            (jnp.abs(x) > 127.5 * s).astype(jnp.float32))
     q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
     return q, s
 

@@ -263,21 +263,15 @@ def main(argv=None):
             if args.datapath.startswith("real://") else args.datapath)
     ds = CopenetRealDataset(path, frame_range=range(*args.frames))
 
-    if args.ckpt or args.torch_ckpt:
-        from ..train.checkpoint import load_model_variables
+    from ..train.checkpoint import load_model_variables
 
+    try:
         model, variables = load_model_variables(
-            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt
+            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt,
+            random_init=args.random_init,
         )
-    elif args.random_init:
-        from ..models import MODEL_REGISTRY, family_init_args
-
-        model = MODEL_REGISTRY[args.model]()
-        variables = model.init(
-            jax.random.PRNGKey(0), *family_init_args(args.model, 1, 64)
-        )
-    else:
-        p.error("provide --ckpt, --torch-ckpt, or --random-init")
+    except ValueError as e:
+        p.error(str(e))
 
     B = min(args.batch_size, len(ds))
     batches = list(real_batches(ds, B, out_size=args.img_res))

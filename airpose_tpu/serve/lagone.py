@@ -123,19 +123,14 @@ def main(argv=None):
     path = (args.datapath[len("real://"):]
             if args.datapath.startswith("real://") else args.datapath)
     ds = CopenetRealDataset(path, frame_range=range(*args.frames))
-    if args.ckpt or args.torch_ckpt:
-        from ..train.checkpoint import load_model_variables
+    from ..train.checkpoint import load_model_variables
 
+    try:
         _, variables = load_model_variables(
-            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt)
-    elif args.random_init:
-        from ..models import MODEL_REGISTRY, family_init_args
-
-        model = MODEL_REGISTRY[args.model]()
-        variables = model.init(
-            jax.random.PRNGKey(0), *family_init_args(args.model, 1, 64))
-    else:
-        p.error("provide --ckpt, --torch-ckpt, or --random-init")
+            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt,
+            random_init=args.random_init)
+    except ValueError as e:
+        p.error(str(e))
 
     imgs, bbs = [], []
     for b in real_batches(ds, min(8, len(ds)), out_size=args.img_res):

@@ -302,21 +302,15 @@ def main(argv=None):
 
     if args.robot_id not in (1, 2):
         parser.error("--robot-id must be 1 or 2")
-    if args.ckpt or args.torch_ckpt:
-        from ..train.checkpoint import load_model_variables
+    from ..train.checkpoint import load_model_variables
 
+    try:
         _, variables = load_model_variables(
-            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt
+            args.model, ckpt=args.ckpt, torch_ckpt=args.torch_ckpt,
+            random_init=args.random_init,
         )
-    elif args.random_init:
-        from ..models import MODEL_REGISTRY, family_init_args
-
-        model = MODEL_REGISTRY[args.model]()
-        variables = model.init(
-            jax.random.PRNGKey(0), *family_init_args(args.model, 1, 64)
-        )
-    else:
-        parser.error("provide --ckpt, --torch-ckpt, or --random-init")
+    except ValueError as e:
+        parser.error(str(e))
 
     # a _sep checkpoint carries per-drone weight copies; this process IS one
     # drone, so it serves its own copy (ref model_copenet_sep.py:169-237)

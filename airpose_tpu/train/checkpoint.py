@@ -253,9 +253,12 @@ def export_reference_checkpoint(variables: Dict, model_name: str,
 
 
 def load_model_variables(model_name: str, ckpt: Optional[str] = None,
-                         torch_ckpt: Optional[str] = None):
+                         torch_ckpt: Optional[str] = None,
+                         random_init: bool = False):
     """Inference-time weight loading shared by the serving/bench CLIs:
     returns ``(model, {"params", "batch_stats"})`` for one model family.
+    Exactly one source must be given — ``ckpt``, ``torch_ckpt``, or
+    ``random_init=True`` (fresh `model.init` weights, the rehearsal mode).
 
     ``ckpt`` is an orbax directory written by this framework (a TrainState
     from the trainer/converter, or a raw variables dict). The restore is
@@ -272,8 +275,14 @@ def load_model_variables(model_name: str, ckpt: Optional[str] = None,
     from .state import create_train_state
 
     model = MODEL_REGISTRY[model_name]()
-    if (ckpt is None) == (torch_ckpt is None):
-        raise ValueError("provide exactly one of ckpt / torch_ckpt")
+    n_sources = (ckpt is not None) + (torch_ckpt is not None) + random_init
+    if n_sources != 1:
+        raise ValueError(
+            "provide exactly one of --ckpt, --torch-ckpt, or --random-init")
+    if random_init:
+        variables = model.init(
+            jax.random.PRNGKey(0), *family_init_args(model_name, 1, 64))
+        return model, variables
     if torch_ckpt is not None:
         import torch  # host-side conversion only — not the compute path
 

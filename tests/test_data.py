@@ -553,10 +553,24 @@ def _write_fake_totalcap(root, n=2):
         db.append(rec)
     with open(os.path.join(root, "dsets", "totalcap_db.pkl"), "wb") as f:
         pickle.dump({"db": db}, f)
-    cams = {f"cam{c}": {"extr": np.eye(3), "trans": np.zeros((3, 1)),
-                        "intr": np.asarray([[500.0, 0, 240],
-                                            [0, 500.0, 135], [0, 0, 1]])}
-            for c in range(1, 9)}
+    # NON-trivial camera poses (extr = cam→world rotation, trans = camera
+    # center — the convention npPerspProj documents, ref utils/utils.py:
+    # 96-107): cameras on a ring looking at the subject, so an
+    # identity-convention loader stores inverted extrinsics here
+    subject = np.asarray([0.1, 0.2, 3.0])
+    cams = {}
+    for c in range(1, 9):
+        a = 2 * np.pi * c / 8
+        T = subject + 4.0 * np.asarray([np.sin(a), 0.1, np.cos(a)])
+        z = subject - T
+        z = z / np.linalg.norm(z)
+        x = np.cross([0.0, 1.0, 0.0], z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        cams[f"cam{c}"] = {"extr": np.stack([x, y, z], axis=1),
+                           "trans": T.reshape(3, 1),
+                           "intr": np.asarray([[500.0, 0, 240],
+                                               [0, 500.0, 135], [0, 0, 1]])}
     with open(os.path.join(root, "cameras.pkl"), "wb") as f:
         pickle.dump(cams, f)
 
@@ -571,6 +585,24 @@ def test_totalcap_reader_and_mixed(tmp_path, rng):
     hb = ds.host_batch([0, 1], rng)
     assert hb["context"].shape == (2, 2, 256, 256, 3)
     assert hb["gt_pose_aa"].shape == (2, 72)
+
+    # reference-convention lock (nontrivial ring cameras): `extr` must be
+    # the world→cam [Rᵀ | −Rᵀ·T] that npPerspProj derives from the stored
+    # camera pose (ref utils/utils.py:96-107) — the GT subject center must
+    # land in FRONT of every camera at ~ring distance
+    with open(tmp_path / "cameras.pkl", "rb") as f:
+        cams = pickle.load(f)
+    for v, cam in enumerate((1, 5)):
+        R = np.asarray(cams[f"cam{cam}"]["extr"])
+        T = np.asarray(cams[f"cam{cam}"]["trans"]).reshape(3)
+        np.testing.assert_allclose(hb["extr"][0, v, :3, :3], R.T, atol=1e-6)
+        np.testing.assert_allclose(hb["extr"][0, v, :3, 3], -R.T @ T,
+                                   atol=1e-6)
+        pc = hb["extr"][0, v, :3, :3] @ hb["gt_trans"][0] \
+            + hb["extr"][0, v, :3, 3]
+        assert np.isclose(np.linalg.norm(pc), 4.0 * np.sqrt(1.01), atol=1e-5)
+        assert pc[2] > 3.9  # camera faces the subject
+
     b = finish_batch(hb, jax.random.PRNGKey(1), deterministic=True)
     assert b["images"].shape == (2, 2, 224, 224, 3)
 

@@ -176,7 +176,8 @@ def test_compile_results_int8_calib_n_cli(tmp_path, capsys, rng):
         "--int8", "--int8_calib_n", "6",
     ])
     printed = capsys.readouterr().out
-    assert "int8 calibration: 6 images; clip rate" in printed
+    # the clip report must be measured OUT of the calibration sample
+    assert "int8 calibration: 6 images; held-out clip rate" in printed
     with open(out_pkl + ".metrics.json") as f:
         m = json.load(f)
     assert np.isfinite(m["test"]["mpjpe0"])
