@@ -584,6 +584,11 @@ def main(argv=None):
                         "whenever a multi-device mesh is available")
     p.add_argument("--iters1", type=int, default=100)
     p.add_argument("--iters2", type=int, default=200)
+    p.add_argument("--lr", type=float, default=0.01,
+                   help="Adam step size (ref bundle_adj.py:279-303 uses "
+                        "0.01 over 100+200 iters; at much smaller iteration "
+                        "budgets a smaller lr avoids Adam's initial "
+                        "overshoot from a near-converged AirPose init)")
     p.add_argument("--kp_threshold", type=float, default=50.0,
                    help="op/al agreement gate (ref bundle_adj.py:124)")
     p.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000))
@@ -634,7 +639,8 @@ def main(argv=None):
         idx = 0 if args.split == "test" else min(1, len(per_split) - 1)
     outputs = per_split[idx]
 
-    cfg = BAConfig(iters_stage1=args.iters1, iters_stage2=args.iters2)
+    cfg = BAConfig(iters_stage1=args.iters1, iters_stage2=args.iters2,
+                   lr=args.lr)
     result = run_sequence(
         smplx_params, vposer_params, ds, outputs, cfg,
         chunk_size=args.chunk_size, save_verts=args.save_verts,

@@ -20,18 +20,21 @@ def test_dress_rehearsal_end_to_end(tmp_path):
 
     # every stage reported
     for key in ("train_best_val", "converter_roundtrip_max_err",
-                "synth_bf16", "synth_int8", "real", "ba_loss_first",
-                "ba_loss_final", "benchtest_absdiff_pose_m1",
-                "benchtest_served_fps"):
+                "synth_bf16", "synth_int8", "real", "ba_stage1_first",
+                "ba_stage1_final", "ba_loss_final",
+                "benchtest_absdiff_pose_m1", "benchtest_served_fps"):
         assert key in summary, key
 
     assert summary["converter_roundtrip_max_err"] < 1e-6
     assert np.isfinite(summary["synth_bf16"]["mpjpe0"])
     assert np.isfinite(summary["synth_int8"]["mpjpe0"])
     assert np.isfinite(summary["real"]["crossview_consistency"])
-    # descent itself is proven at real iteration counts in
-    # test_bundle_adjust; at the rehearsal's few smoke iterations the
-    # Adam transient can go either way — only liveness is asserted here
+    # stage-1 (z frozen) is the prior-independent health signal; full
+    # descent at real iteration counts is proven in test_bundle_adjust,
+    # and stage 2 optimizes through the rehearsal's RANDOM VPoser
+    # decoder, so only stage-1 sanity + overall liveness are asserted
+    assert np.isfinite(summary["ba_stage1_first"])
+    assert np.isfinite(summary["ba_stage1_final"])
     assert np.isfinite(summary["ba_loss_final"])
     assert summary["benchtest_absdiff_pose_m1"] < 1e-3
     assert summary["benchtest_served_fps"] > 0
