@@ -132,15 +132,27 @@ class AirPoseServer:
 
     async def peer_loop(self, reader, writer, first=None):
         self.peer_writer = writer
-        msg = first
-        while True:
-            if msg is not None:
-                msg_type, payload = msg
-                if msg_type in (P.MSG_STEP1, P.MSG_STEP2):
-                    self._note_peer(msg_type, *P.decode_step(payload))
-            msg = await P.read_message(reader)
-            if msg is None:
-                break
+        try:
+            msg = first
+            while True:
+                if msg is not None:
+                    msg_type, payload = msg
+                    if msg_type in (P.MSG_STEP1, P.MSG_STEP2):
+                        self._note_peer(msg_type, *P.decode_step(payload))
+                msg = await P.read_message(reader)
+                if msg is None:
+                    break
+        finally:
+            # Close the transport when the handler exits — INCLUDING on
+            # cancellation. Server.wait_closed() (3.12+) waits for every
+            # accepted connection to detach; a cancelled handler that
+            # leaves its writer open keeps the peer link's connection
+            # alive forever and run_server hangs mid-cancel (the
+            # "Task was destroyed but it is pending" unraisable).
+            try:
+                writer.close()
+            except RuntimeError:
+                pass  # loop already closed (GC-time teardown)
 
     async def client_loop(self, reader, writer, first=None):
         """Pump incoming messages into a queue and process the NEWEST
@@ -176,6 +188,10 @@ class AirPoseServer:
                     await self._process_frame(writer, msg[1])
         finally:
             pump_task.cancel()
+            try:  # see peer_loop: detach from Server.wait_closed()
+                writer.close()
+            except RuntimeError:
+                pass  # loop already closed (GC-time teardown)
 
     async def _process_frame(self, writer, payload: bytes):
         """The 3-round protocol for one frame (SURVEY.md §3.5)."""

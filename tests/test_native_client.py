@@ -87,7 +87,8 @@ def test_cpp_clients_two_server_sync():
         out, err = p.communicate(timeout=180)
         assert p.returncode == 0, (out, err)
         outs.append(out)
-    loop.call_soon_threadsafe(loop.stop)
+    from test_serve import _stop_loop
+    _stop_loop(loop, t)
 
     for v, out in enumerate(outs):
         lines = [l for l in out.splitlines() if l.startswith("RESULT")]

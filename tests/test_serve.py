@@ -228,7 +228,7 @@ def test_two_server_localhost_sync(served_model, rng):
         th.start()
     for th in threads:
         th.join(timeout=120)
-    loop.call_soon_threadsafe(loop.stop)
+    _stop_loop(loop, t)
 
     assert not errors, errors
     assert results[0] is not None and results[1] is not None
@@ -238,6 +238,28 @@ def test_two_server_localhost_sync(served_model, rng):
     assert data0.shape == (145,) and np.isfinite(data0).all()
     # both served the same weights and the same image: step3 outputs agree
     np.testing.assert_allclose(data0, data1, atol=1e-4)
+
+
+def _stop_loop(loop, thread=None):
+    """Cancel every task, let the cancellations run their cleanup, then
+    stop AND close the loop — a bare stop() abandons the server
+    coroutines to be GC-destroyed mid-await (the unraisable warnings the
+    suite used to print)."""
+
+    async def _shutdown():
+        tasks = [t for t in asyncio.all_tasks(loop)
+                 if t is not asyncio.current_task()]
+        for task in tasks:
+            task.cancel()
+        if tasks:
+            await asyncio.wait(tasks, timeout=5)
+        loop.stop()
+
+    asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+    if thread is not None:
+        thread.join(timeout=10)
+    if not loop.is_running() and not loop.is_closed():
+        loop.close()
 
 
 def _start_loop_with_server(server_obj, port):
@@ -256,7 +278,7 @@ def _start_loop_with_server(server_obj, port):
     import time
 
     time.sleep(0.5)
-    return loop
+    return loop, t
 
 
 def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
@@ -274,7 +296,7 @@ def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    loop = _start_loop_with_server(srv, port)
+    loop, lt = _start_loop_with_server(srv, port)
     try:
         img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
         bb = np.asarray([0.0, 0.0, 1.0], np.float32)
@@ -283,7 +305,7 @@ def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
         assert fid == 3 and np.isfinite(data).all()
         assert srv.peer_timeouts == 2  # rounds 2 and 3 both degraded
     finally:
-        loop.call_soon_threadsafe(loop.stop)
+        _stop_loop(loop, lt)
 
     from airpose_tpu.serve.server import _normalize
 
@@ -322,7 +344,7 @@ def test_latest_frame_wins_drop_policy(served_model, rng):
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
     s.close()
-    loop = _start_loop_with_server(srv, port)
+    loop, lt = _start_loop_with_server(srv, port)
     try:
         img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
         bb = np.asarray([0.0, 0.0, 1.0], np.float32)
@@ -337,7 +359,7 @@ def test_latest_frame_wins_drop_policy(served_model, rng):
             got.append(P.decode_step(msg[1])[0])
         sock.close()
     finally:
-        loop.call_soon_threadsafe(loop.stop)
+        _stop_loop(loop, lt)
 
     assert got[0] == 0 and got[-1] == 3, got
     assert srv.frames_dropped == 2
