@@ -10,7 +10,20 @@
 //
 // Usage:
 //   airpose_client --host 127.0.0.1 --port 9901 --robot-id 1 \
-//       --frames 8 --fps 4 [--mode fake|stdin] [--size 224]
+//       --frames 8 --fps 4 [--mode fake|stdin|roi] [--size 224]
+//
+// Modes:
+//   fake   deterministic synthetic 224x224 crops (protocol testing)
+//   stdin  pre-cropped raw RGB crops of --size on stdin
+//   roi    FULL frames + per-frame ROI on stdin — the reference client's
+//          actual role (README one_robot.launch: subscribe image +
+//          NeuralNetworkFeedback ROI, crop, stream). Per frame stdin
+//          carries 4 float32 LE {ymin, ymax, xcenter, ycenter} followed
+//          by --img-h * --img-w * 3 bytes RGB; the client derives the
+//          box (--roi-groundtruth flips the README's groundtruth field
+//          mapping), crops/resizes exactly like the offline eval
+//          pipeline, and computes the bb conditioning from
+//          --px/--py (camera principal point). See airpose_roi.hpp.
 //
 // Output: one line per frame
 //   RESULT frame=<id> latency_ms=<t> beta0=<v> trans=<x,y,z> pose0=<6 floats>
@@ -24,6 +37,7 @@
 #include <vector>
 
 #include "../protocol/airpose_protocol.hpp"
+#include "airpose_roi.hpp"
 
 namespace {
 
@@ -35,6 +49,12 @@ struct Options {
   double fps = 4.0;
   int size = 224;
   std::string mode = "fake";
+  int img_w = 1920;
+  int img_h = 1080;
+  float px = 960.0f;   // principal point (constants CX/CY defaults)
+  float py = 540.0f;
+  bool roi_groundtruth = false;
+  int context_size = 672;
 };
 
 Options parse(int argc, char** argv) {
@@ -55,6 +75,12 @@ Options parse(int argc, char** argv) {
     else if (a == "--fps") o.fps = std::atof(next().c_str());
     else if (a == "--size") o.size = std::atoi(next().c_str());
     else if (a == "--mode") o.mode = next();
+    else if (a == "--img-w") o.img_w = std::atoi(next().c_str());
+    else if (a == "--img-h") o.img_h = std::atoi(next().c_str());
+    else if (a == "--px") o.px = std::atof(next().c_str());
+    else if (a == "--py") o.py = std::atof(next().c_str());
+    else if (a == "--roi-groundtruth") o.roi_groundtruth = true;
+    else if (a == "--context-size") o.context_size = std::atoi(next().c_str());
     else {
       std::fprintf(stderr, "unknown arg %s\n", a.c_str());
       std::exit(2);
@@ -88,7 +114,8 @@ int main(int argc, char** argv) {
   try {
     airpose::Connection conn(o.host, o.port);
     std::vector<uint8_t> rgb;
-    const float bb[3] = {0.0f, 0.0f, 1.0f};
+    std::vector<uint8_t> full;  // roi mode: full-resolution frame
+    float bb[3] = {0.0f, 0.0f, 1.0f};
     const float init_trans[3] = {0.0f, 0.0f, 10.0f};
     const auto period =
         std::chrono::duration<double>(o.fps > 0 ? 1.0 / o.fps : 0.0);
@@ -100,6 +127,25 @@ int main(int argc, char** argv) {
           std::fprintf(stderr, "stdin frame %d truncated\n", f);
           return 1;
         }
+      } else if (o.mode == "roi") {
+        float roi_raw[4];
+        full.resize(size_t(o.img_h) * o.img_w * 3);
+        if (std::fread(roi_raw, 4, 4, stdin) != 4 ||
+            std::fread(full.data(), 1, full.size(), stdin) != full.size()) {
+          std::fprintf(stderr, "stdin roi frame %d truncated\n", f);
+          return 1;
+        }
+        airpose::RoiMessage roi{roi_raw[0], roi_raw[1], roi_raw[2],
+                                roi_raw[3]};
+        airpose::Box box = airpose::roi_to_box(roi, o.img_w, o.img_h,
+                                               o.roi_groundtruth);
+        airpose::CropResult crop = airpose::crop_and_encode(
+            full.data(), o.img_w, o.img_h, box, o.px, o.py, o.size,
+            o.context_size);
+        rgb = std::move(crop.rgb);
+        bb[0] = crop.bb[0];
+        bb[1] = crop.bb[1];
+        bb[2] = crop.bb[2];
       } else {
         fake_frame(o.robot_id, f, o.size, rgb);
       }

@@ -1,0 +1,216 @@
+// ROI → crop → bb-encoding pipeline for the native AirPose client.
+//
+// Re-implements the drone-side image preparation of the reference's aircap
+// airpose_client ROS node (missing submodule; behavior from the README's
+// ROI-message description — /root/reference/README.md "The ROI message can
+// be either used..." block; SURVEY.md §2.9):
+//
+//   * "groundtruth" mode: the four ROI fields carry a full box with the
+//     reference's documented field abuse {ymin=ymin, ymax=ymax,
+//     ycenter=xmin, xcenter=xmax};
+//   * general mode: {ymin, ymax, xcenter, ycenter} describe a box of
+//     height ymax-ymin centered at (xcenter, ycenter) with a 3:4
+//     width:height aspect ratio.
+//
+// The crop/resize/bb math replicates airpose_tpu/data/pipeline.py
+// (finish_batch with deterministic margin-0 boxes — the real eval path)
+// bit-for-bit in its sampling semantics so that frames served through this
+// client match the offline eval pipeline on the same capture:
+//
+//   1. clamp the box to the frame (data/real.py:203-206 convention:
+//      integer bounds);
+//   2. if the box exceeds the context budget S (default 672), point-sample
+//      decimate by the integer factor f = ceil(max(w,h)/S)
+//      (data/real.py:218-224);
+//   3. aspect-preserving resize to 224 with centered zero padding using
+//      jax.image.scale_and_translate(method="linear", antialias=False)
+//      semantics: per-axis triangle kernel on the ZERO-PADDED context
+//      buffer (pixels past the decimated extent read 0, not edge-clamped),
+//      weights renormalized where the kernel footprint leaves the buffer
+//      (data/pipeline.py:55-93 incl. the border mask);
+//   4. bb = (crop_center / principal_point − 1, 224/max(w,h) in frame
+//      pixels) (data/pipeline.py:130-138; ref dsets/aerialpeople.py:134-135).
+//
+// The reference client's `reproject` option (reprojection to different
+// intrinsics) is out of scope here: the per-camera intrinsics travel in
+// the dataset/CLI instead (constants FOCAL_LENGTH0/1 — see
+// airpose_tpu/constants.py).
+
+#pragma once
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace airpose {
+
+struct RoiMessage {
+  float ymin, ymax, xcenter, ycenter;
+};
+
+struct Box {
+  int xmin, ymin, xmax, ymax;  // half-open [min, max) in frame pixels
+  int width() const { return xmax - xmin; }
+  int height() const { return ymax - ymin; }
+};
+
+// README ROI semantics → a pixel box, clamped to the frame.
+inline Box roi_to_box(const RoiMessage& roi, int frame_w, int frame_h,
+                      bool groundtruth) {
+  float x0, x1, y0, y1;
+  if (groundtruth) {
+    // field abuse per README: ycenter carries xmin, xcenter carries xmax
+    x0 = roi.ycenter;
+    x1 = roi.xcenter;
+    y0 = roi.ymin;
+    y1 = roi.ymax;
+  } else {
+    const float h = roi.ymax - roi.ymin;
+    const float w = 0.75f * h;  // 3:4 width:height
+    x0 = roi.xcenter - w / 2.0f;
+    x1 = roi.xcenter + w / 2.0f;
+    y0 = roi.ymin;
+    y1 = roi.ymax;
+  }
+  Box b;
+  b.xmin = std::max(static_cast<int>(x0), 0);
+  b.ymin = std::max(static_cast<int>(y0), 0);
+  b.xmax = std::min(static_cast<int>(x1), frame_w);
+  b.ymax = std::min(static_cast<int>(y1), frame_h);
+  // degenerate ROI: keep at least one pixel so downstream stays finite
+  if (b.xmax <= b.xmin) b.xmax = std::min(b.xmin + 1, frame_w);
+  if (b.ymax <= b.ymin) b.ymax = std::min(b.ymin + 1, frame_h);
+  if (b.xmax <= b.xmin) b.xmin = b.xmax - 1;
+  if (b.ymax <= b.ymin) b.ymin = b.ymax - 1;
+  return b;
+}
+
+struct CropResult {
+  std::vector<uint8_t> rgb;  // out_size x out_size x 3
+  float bb[3];               // (cx/px - 1, cy/py - 1, scale)
+};
+
+namespace detail {
+
+// One output scanline's sampling plan for one axis: the two source taps
+// and weights of jax.image.scale_and_translate(linear, antialias=False).
+// `extent` is the valid decimated size (taps past it read zero — the
+// context buffer's zero padding); taps left of 0 are outside the buffer
+// entirely, so the surviving weight renormalizes (pipeline.py uses the
+// normalized weight matrix of jax.image.compute_weight_mat).
+struct Tap {
+  int i0, i1;        // source indices (-1 = contributes zero)
+  float w0, w1;
+  bool masked;       // outside the content mask (pipeline.py:86-89)
+};
+
+inline Tap axis_tap(int o, float scale, float translate, float box_len,
+                    int extent, int out_size) {
+  Tap t{};
+  const float sample = (static_cast<float>(o) + 0.5f - translate) / scale - 0.5f;
+  // content mask: o in [translate - 0.5, translate + scale*box_len - 0.5)
+  const float oo = static_cast<float>(o);
+  t.masked = !(oo >= translate - 0.5f && oo < translate + scale * box_len - 0.5f);
+  const int i0 = static_cast<int>(std::floor(sample));
+  const float a = sample - static_cast<float>(i0);
+  float w0 = 1.0f - a, w1 = a;
+  int s0 = i0, s1 = i0 + 1;
+  // taps fully left of the buffer are excluded → renormalize the rest
+  if (s0 < 0) {
+    s0 = -1;
+    const float total = w1;
+    w0 = 0.0f;
+    w1 = total > 0.0f ? 1.0f : 0.0f;
+  }
+  // taps past the decimated extent read the buffer's zero padding
+  if (s0 >= extent) s0 = -1;
+  if (s1 >= extent) s1 = -1;
+  t.i0 = s0;
+  t.i1 = s1;
+  t.w0 = w0;
+  t.w1 = w1;
+  return t;
+}
+
+}  // namespace detail
+
+// Crop `box` out of the full frame, decimate into the context budget,
+// resize-with-pad to out_size, and compute the bb conditioning.
+// `frame` is H x W x 3 RGB; (px, py) is the camera principal point.
+inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
+                                  int frame_h, const Box& box, float px,
+                                  float py, int out_size = 224,
+                                  int context_size = 672) {
+  const int w = box.width(), h = box.height();
+  // integer decimation factor (data/real.py:218: ceil(max(w,h)/S))
+  const int f = std::max((std::max(w, h) + context_size - 1) / context_size, 1);
+  const int w_dec = (w + f - 1) / f;  // crop[::f] length
+  const int h_dec = (h + f - 1) / f;
+
+  // decimated crop (point sampling, matching numpy crop[::f, ::f])
+  std::vector<uint8_t> dec(static_cast<size_t>(w_dec) * h_dec * 3);
+  for (int y = 0; y < h_dec; ++y) {
+    const int sy = box.ymin + y * f;
+    for (int x = 0; x < w_dec; ++x) {
+      const int sx = box.xmin + x * f;
+      const size_t src = (static_cast<size_t>(sy) * frame_w + sx) * 3;
+      const size_t dst = (static_cast<size_t>(y) * w_dec + x) * 3;
+      dec[dst + 0] = frame[src + 0];
+      dec[dst + 1] = frame[src + 1];
+      dec[dst + 2] = frame[src + 2];
+    }
+  }
+
+  // resize box = (0, 0, w/f, h/f) in decimated coords (float, NOT the
+  // ceil'd buffer extent — data/real.py:223 divides person_box by f)
+  const float bw = static_cast<float>(w) / static_cast<float>(f);
+  const float bh = static_cast<float>(h) / static_cast<float>(f);
+  const float scale_ctx =
+      static_cast<float>(out_size) / std::max(bw, bh);
+  const float ty = (static_cast<float>(out_size) - scale_ctx * bh) / 2.0f;
+  const float tx = (static_cast<float>(out_size) - scale_ctx * bw) / 2.0f;
+
+  std::vector<detail::Tap> ytap(out_size), xtap(out_size);
+  for (int o = 0; o < out_size; ++o) {
+    ytap[o] = detail::axis_tap(o, scale_ctx, ty, bh, h_dec, out_size);
+    xtap[o] = detail::axis_tap(o, scale_ctx, tx, bw, w_dec, out_size);
+  }
+
+  CropResult res;
+  res.rgb.assign(static_cast<size_t>(out_size) * out_size * 3, 0);
+  auto at = [&](int y, int x, int c) -> float {
+    if (y < 0 || x < 0) return 0.0f;
+    return static_cast<float>(
+               dec[(static_cast<size_t>(y) * w_dec + x) * 3 + c]) /
+           255.0f;
+  };
+  for (int oy = 0; oy < out_size; ++oy) {
+    const detail::Tap& yt = ytap[oy];
+    if (yt.masked) continue;
+    for (int ox = 0; ox < out_size; ++ox) {
+      const detail::Tap& xt = xtap[ox];
+      if (xt.masked) continue;
+      for (int c = 0; c < 3; ++c) {
+        const float v = yt.w0 * (xt.w0 * at(yt.i0, xt.i0, c) +
+                                 xt.w1 * at(yt.i0, xt.i1, c)) +
+                        yt.w1 * (xt.w0 * at(yt.i1, xt.i0, c) +
+                                 xt.w1 * at(yt.i1, xt.i1, c));
+        const float u8 = std::min(std::max(v * 255.0f, 0.0f), 255.0f);
+        res.rgb[(static_cast<size_t>(oy) * out_size + ox) * 3 + c] =
+            static_cast<uint8_t>(u8);  // truncation, as np .astype(uint8)
+      }
+    }
+  }
+
+  // bb in FRAME pixels: center of the un-decimated box; scale folds the
+  // decimation factor back in (pipeline.py:313,318-319)
+  const float cx = static_cast<float>(box.xmin) + static_cast<float>(w) / 2.0f;
+  const float cy = static_cast<float>(box.ymin) + static_cast<float>(h) / 2.0f;
+  res.bb[0] = cx / px - 1.0f;
+  res.bb[1] = cy / py - 1.0f;
+  res.bb[2] = scale_ctx / static_cast<float>(f);
+  return res;
+}
+
+}  // namespace airpose

@@ -18,10 +18,11 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NATIVE = os.path.join(REPO, "native")
 CLIENT = os.path.join(NATIVE, "build", "airpose_client")
+ROI_TOOL = os.path.join(NATIVE, "build", "roi_tool")
 
 
 def _ensure_client_built():
-    if os.path.exists(CLIENT):
+    if os.path.exists(CLIENT) and os.path.exists(ROI_TOOL):
         return True
     if shutil.which("cmake") is None:
         return False
@@ -37,7 +38,78 @@ def _ensure_client_built():
         )
     except subprocess.CalledProcessError:
         return False
-    return os.path.exists(CLIENT)
+    return os.path.exists(CLIENT) and os.path.exists(ROI_TOOL)
+
+
+def _python_reference_crop(frame, box, principal, context_size):
+    """The offline eval pipeline's crop/bb for a known box: the host stage
+    of data/real.py (crop + integer decimation into the context buffer)
+    followed by finish_batch with deterministic margin-0 boxes."""
+    from airpose_tpu.data.pipeline import finish_batch
+    from airpose_tpu.serve.benchtest import _denormalize_u8
+
+    xmin, ymin, xmax, ymax = box
+    w, h = xmax - xmin, ymax - ymin
+    S = context_size
+    f = max(-(-max(w, h) // S), 1)
+    dec = frame[ymin:ymax:f, xmin:xmax:f]
+    hh, ww = dec.shape[:2]
+    ctx = np.zeros((1, 2, S, S, 3), np.uint8)
+    ctx[0, :, :hh, :ww] = dec
+    K = np.eye(3, dtype=np.float32)
+    K[0, 2], K[1, 2] = principal
+    host = {
+        "context": ctx,
+        "context_extent": np.broadcast_to(
+            np.asarray([ww, hh], np.float32), (1, 2, 2)).copy(),
+        "context_origin": np.broadcast_to(
+            np.asarray([xmin, ymin], np.float32), (1, 2, 2)).copy(),
+        "context_scale": np.full((1, 2), f, np.float32),
+        "person_box": np.broadcast_to(
+            np.asarray([0, 0, w / f, h / f], np.float32), (1, 2, 4)).copy(),
+        "intr": np.broadcast_to(K, (1, 2, 3, 3)).copy(),
+    }
+    out = finish_batch(host, jax.random.PRNGKey(0), deterministic=True,
+                       margin=0.0)
+    return (_denormalize_u8(np.asarray(out["images"][0, 0])),
+            np.asarray(out["bb"][0, 0]))
+
+
+@pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
+@pytest.mark.parametrize("box,context_size", [
+    ((40, 30, 200, 107), 672),   # direct path (f = 1), landscape pad
+    ((8, 5, 310, 233), 128),     # oversized box → integer decimation f = 3
+])
+def test_roi_crop_matches_python_pipeline(box, context_size):
+    """The C++ client's ROI→crop→bb pipeline (native/client/airpose_roi.hpp)
+    must match the offline eval pipeline (finish_batch) numerically, so
+    frames served through the native client agree with compile_results on
+    the same capture. Groundtruth-mode ROI carries the box explicitly
+    (README field mapping {ymin, ymax, ycenter=xmin, xcenter=xmax})."""
+    rng = np.random.default_rng(7)
+    W, H = 320, 240
+    principal = (150.0, 110.0)
+    frame = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+
+    xmin, ymin, xmax, ymax = box
+    roi = np.asarray([ymin, ymax, xmax, xmin], np.float32)  # gt field abuse
+    payload = roi.tobytes() + frame.tobytes()
+    proc = subprocess.run(
+        [ROI_TOOL, str(W), str(H), str(principal[0]), str(principal[1]),
+         "1", str(context_size)],
+        input=payload, capture_output=True, check=True,
+    )
+    out = proc.stdout
+    bb_cpp = np.frombuffer(out[:12], np.float32)
+    img_cpp = np.frombuffer(out[12:], np.uint8).reshape(224, 224, 3)
+
+    img_ref, bb_ref = _python_reference_crop(frame, box, principal,
+                                             context_size)
+    np.testing.assert_allclose(bb_cpp, bb_ref, atol=1e-5)
+    diff = np.abs(img_cpp.astype(np.int16) - img_ref.astype(np.int16))
+    # float-order differences may flip the uint8 truncation by 1
+    assert diff.max() <= 1, (diff.max(), (diff > 1).sum())
+    assert (diff == 0).mean() > 0.9
 
 
 @pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
@@ -73,18 +145,33 @@ def test_cpp_clients_two_server_sync():
     t.start()
     time.sleep(1.0)
 
+    # client 1 exercises the full ROI path (full frames + ROI on stdin,
+    # the reference client's actual role); client 2 stays in fake mode
     n_frames = 3
+    W, H = 96, 72
+    rng = np.random.default_rng(3)
+    roi = np.asarray([10, 60, 70, 12], np.float32)  # gt: box x[12,70] y[10,60]
+    roi_stdin = b"".join(
+        roi.tobytes() + rng.integers(0, 256, (H, W, 3), dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    )
     procs = [
         subprocess.Popen(
             [CLIENT, "--host", "127.0.0.1", "--port", str(ports[v]),
-             "--robot-id", str(v + 1), "--frames", str(n_frames), "--fps", "4"],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+             "--robot-id", str(v + 1), "--frames", str(n_frames), "--fps", "4"]
+            + (["--mode", "roi", "--img-w", str(W), "--img-h", str(H),
+                "--px", "48", "--py", "36", "--roi-groundtruth"]
+               if v == 0 else []),
+            stdin=subprocess.PIPE if v == 0 else None,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=False,
         )
         for v in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=180)
+    for v, p in enumerate(procs):
+        out, err = p.communicate(input=roi_stdin if v == 0 else None,
+                                 timeout=180)
+        out, err = out.decode(), err.decode()
         assert p.returncode == 0, (out, err)
         outs.append(out)
     from test_serve import _stop_loop
