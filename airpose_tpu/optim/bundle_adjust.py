@@ -254,6 +254,69 @@ def bundle_adjust(
     }
 
 
+def ba_debug_report(
+    smplx_params: SMPLXParams,
+    vposer_params: VPoserParams,
+    init: BAState,
+    openpose: jnp.ndarray,   # (N, 2, 24, 3)
+    alphapose: jnp.ndarray,  # (N, 2, 24, 3)
+    intr: jnp.ndarray,       # (2, 3, 3)
+    cfg: BAConfig = BAConfig(),
+) -> Dict[str, Dict]:
+    """Numerical-health diagnostic — the TPU analog of the reference's
+    `autograd.detect_anomaly` + graphviz bad-gradient visualizer
+    (ref bundle_adj.py:68-112,263). Instead of walking an autograd graph,
+    report every loss term's value and, per optimization variable
+    (z/phi/tau/beta), its gradient norm and finiteness on the INITIAL
+    state — localizing a NaN/Inf to (term, variable) before any Adam step
+    can smear it across the whole state."""
+    def halve_hips(kp):
+        return kp.at[:, :, (1, 2), 2].mul(0.5)
+
+    kp = jnp.stack([halve_hips(openpose), halve_hips(alphapose)], axis=1)
+    robust = alphapose[..., 2].sum(axis=(1, 2)) > cfg.robust_conf_threshold
+    loss_fn = make_loss_fn(smplx_params, vposer_params, kp, intr, robust, cfg)
+    _, metrics = jax.jit(loss_fn)(init)
+
+    report: Dict[str, Dict] = {}
+    for term in metrics:
+        g = jax.jit(jax.grad(lambda s, t=term: loss_fn(s)[1][t]))(init)
+        report[term] = {
+            "value": float(metrics[term]),
+            "grads": {
+                name: {
+                    "norm": float(jnp.sqrt((x.astype(jnp.float32) ** 2).sum())),
+                    "finite": bool(jnp.isfinite(x).all()),
+                }
+                for name, x in zip(init._fields, g)
+            },
+        }
+    return report
+
+
+def print_debug_report(report: Dict[str, Dict]) -> bool:
+    """Render the (term × variable) table; returns True if healthy."""
+    fields = next(iter(report.values()))["grads"].keys()
+    header = f"{'term':<14}{'value':>12}  " + "".join(
+        f"{f'grad|{f}|':>14}" for f in fields)
+    print(header, flush=True)
+    healthy = True
+    for term, row in report.items():
+        cells = []
+        for f in fields:
+            g = row["grads"][f]
+            cells.append(f"{g['norm']:>14.4g}" if g["finite"]
+                         else f"{'NON-FINITE':>14}")
+            healthy &= g["finite"]
+        ok = np.isfinite(row["value"])
+        healthy &= bool(ok)
+        val = f"{row['value']:>12.5g}" if ok else f"{'NON-FINITE':>12}"
+        print(f"{term:<14}{val}  " + "".join(cells), flush=True)
+    print("numerics: " + ("all finite" if healthy else
+                          "NON-FINITE terms/gradients above"), flush=True)
+    return healthy
+
+
 def export_results(
     smplx_params: SMPLXParams,
     vposer_params: VPoserParams,
@@ -463,6 +526,7 @@ def run_sequence(
     chunk_size: int = 2000,
     save_verts: bool = False,
     sharded: bool = False,
+    debug_nans: bool = False,
 ):
     """Chunked per-sequence optimization (ref bundle_adj.py:216-222: chunks
     of 2000 frames, the temporal term coupling only within a chunk) over a
@@ -492,6 +556,14 @@ def run_sequence(
     verts0, verts1 = [], []
     cam1_wrt_cam0 = np.zeros((n_frames, 4, 4), np.float32)
     pose_body = np.zeros((n_frames, 21, 3), np.float32)
+
+    if debug_nans:
+        report = ba_debug_report(
+            smplx_params, vposer_params,
+            BAState(z=init.z[:n_frames], phi=init.phi[:n_frames],
+                    tau=init.tau[:n_frames], beta=init.beta),
+            openpose, alphapose, intr, cfg)
+        print_debug_report(report)
 
     spans = ([(0, n_frames)] if sharded
              else [(b, min(b + chunk_size, n_frames))
@@ -594,6 +666,12 @@ def main(argv=None):
     p.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000))
     p.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
     p.add_argument("--save-verts", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="print the per-term × per-variable gradient "
+                        "finiteness/norm table on the initial state before "
+                        "optimizing (the reference's detect_anomaly + "
+                        "bad-gradient visualizer analog, ref "
+                        "bundle_adj.py:68-112,263)")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = p.parse_args(argv)
 
@@ -644,7 +722,7 @@ def main(argv=None):
     result = run_sequence(
         smplx_params, vposer_params, ds, outputs, cfg,
         chunk_size=args.chunk_size, save_verts=args.save_verts,
-        sharded=args.sharded,
+        sharded=args.sharded, debug_nans=args.debug_nans,
     )
 
     os.makedirs(args.out, exist_ok=True)

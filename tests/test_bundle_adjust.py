@@ -103,6 +103,44 @@ def test_bundle_adjust_reduces_reprojection_error(models, rng):
     )
 
 
+def test_ba_debug_report_localizes_bad_gradients(models, rng):
+    """The detect_anomaly / bad-grad-visualizer analog (--debug_nans):
+    clean data reports all-finite; a poisoned keypoint confidence is
+    localized to the data term's row while the regularizer terms stay
+    finite — the (term × variable) information the reference extracted
+    by walking the autograd graph (ref bundle_adj.py:68-112,263)."""
+    from airpose_tpu.optim import ba_debug_report, print_debug_report
+
+    smplx_params, vposer_params = models
+    z_true, phi_rm, tau, intr, kp = _make_problem(models, rng, N=6)
+    init = BAState(z=z_true, phi=rotmat_to_rot6d(phi_rm), tau=tau,
+                   beta=jnp.zeros(10))
+    cfg = BAConfig()
+
+    rep = ba_debug_report(smplx_params, vposer_params, init, kp, kp, intr, cfg)
+    assert set(rep) == {"loss", "loss_2d", "loss_vposer", "loss_beta",
+                        "loss_temporal"}
+    assert print_debug_report(rep) is True
+    for term in rep.values():
+        assert np.isfinite(term["value"])
+        for g in term["grads"].values():
+            assert g["finite"]
+    # the data term pulls on the pose variables at a perturbation-free
+    # optimum too (GM residuals are not exactly zero)
+    assert rep["loss_beta"]["grads"]["beta"]["norm"] >= 0.0
+
+    # poison one keypoint confidence → the 2D data term (and the total)
+    # go non-finite; the pure regularizers remain healthy
+    kp_bad = kp.at[0, 0, 0, 2].set(np.inf)
+    rep2 = ba_debug_report(
+        smplx_params, vposer_params, init, kp_bad, kp, intr, cfg)
+    assert not np.isfinite(rep2["loss_2d"]["value"])
+    assert not rep2["loss_2d"]["grads"]["tau"]["finite"]
+    assert rep2["loss_beta"]["grads"]["beta"]["finite"]
+    assert np.isfinite(rep2["loss_vposer"]["value"])
+    assert print_debug_report(rep2) is False
+
+
 def test_sharded_matches_single_device(models, rng):
     """Frame-sharded whole-sequence BA over the 8-virtual-device mesh ≡
     the single-device path (same loss trace, same optimum) — including
