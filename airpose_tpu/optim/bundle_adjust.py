@@ -276,11 +276,26 @@ def ba_debug_report(
     kp = jnp.stack([halve_hips(openpose), halve_hips(alphapose)], axis=1)
     robust = alphapose[..., 2].sum(axis=(1, 2)) > cfg.robust_conf_threshold
     loss_fn = make_loss_fn(smplx_params, vposer_params, kp, intr, robust, cfg)
-    _, metrics = jax.jit(loss_fn)(init)
 
+    # ONE jit for all terms' values + gradients (remote compiles are slow
+    # on this backend; a per-term jit would compile the near-identical
+    # whole-sequence graph once per row). Each term gets its OWN pruned
+    # grad inside the jit — a single jacrev over the metrics dict would
+    # share one backward graph, and a zero cotangent times an Inf
+    # residual is NaN, smearing a poisoned data term into the
+    # regularizers' rows and defeating the localization.
+    terms = list(jax.eval_shape(lambda s: loss_fn(s)[1], init).keys())
+
+    @jax.jit
+    def _report(s):
+        metrics = loss_fn(s)[1]
+        grads = {t: jax.grad(lambda st, t=t: loss_fn(st)[1][t])(s)
+                 for t in terms}
+        return metrics, grads
+
+    metrics, grads = _report(init)
     report: Dict[str, Dict] = {}
     for term in metrics:
-        g = jax.jit(jax.grad(lambda s, t=term: loss_fn(s)[1][t]))(init)
         report[term] = {
             "value": float(metrics[term]),
             "grads": {
@@ -288,7 +303,7 @@ def ba_debug_report(
                     "norm": float(jnp.sqrt((x.astype(jnp.float32) ** 2).sum())),
                     "finite": bool(jnp.isfinite(x).all()),
                 }
-                for name, x in zip(init._fields, g)
+                for name, x in zip(init._fields, grads[term])
             },
         }
     return report

@@ -47,6 +47,11 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         batch_size: int = 4) -> dict:
     import jax
 
+    if ba_iters[0] < 1:
+        raise SystemExit(
+            "--ba_iters: the first (stage-1) count must be >= 1 — the "
+            "rehearsal's BA health metric is the stage-1 descent")
+
     summary = {}
     os.makedirs(workdir, exist_ok=True)
 

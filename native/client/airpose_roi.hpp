@@ -66,12 +66,15 @@ inline Box roi_to_box(const RoiMessage& roi, int frame_w, int frame_h,
     y0 = roi.ymin;
     y1 = roi.ymax;
   } else {
+    // README: "you specify the center and the height of the box" —
+    // ymin/ymax carry only the HEIGHT; placement comes from the center
+    // (xcenter, ycenter). 3:4 width:height aspect.
     const float h = roi.ymax - roi.ymin;
-    const float w = 0.75f * h;  // 3:4 width:height
+    const float w = 0.75f * h;
     x0 = roi.xcenter - w / 2.0f;
     x1 = roi.xcenter + w / 2.0f;
-    y0 = roi.ymin;
-    y1 = roi.ymax;
+    y0 = roi.ycenter - h / 2.0f;
+    y1 = roi.ycenter + h / 2.0f;
   }
   Box b;
   b.xmin = std::max(static_cast<int>(x0), 0);
@@ -94,11 +97,15 @@ struct CropResult {
 namespace detail {
 
 // One output scanline's sampling plan for one axis: the two source taps
-// and weights of jax.image.scale_and_translate(linear, antialias=False).
-// `extent` is the valid decimated size (taps past it read zero — the
-// context buffer's zero padding); taps left of 0 are outside the buffer
-// entirely, so the surviving weight renormalizes (pipeline.py uses the
-// normalized weight matrix of jax.image.compute_weight_mat).
+// and weights of jax.image.scale_and_translate(linear, antialias=False)
+// over the S-sized context buffer. jax's compute_weight_mat semantics:
+// taps OUTSIDE the buffer [0, S) are excluded and the surviving weights
+// renormalize to sum 1; taps inside the buffer but past the decimated
+// extent read the buffer's zero padding with their weight kept. The
+// distinction matters at the right edge when the decimated box length
+// lands within one pixel of S (then a tap falls at index == S and the
+// other weight renormalizes to 1 — dropping it unrenormalized diverges
+// from finish_batch by tens of uint8 steps).
 struct Tap {
   int i0, i1;        // source indices (-1 = contributes zero)
   float w0, w1;
@@ -106,7 +113,7 @@ struct Tap {
 };
 
 inline Tap axis_tap(int o, float scale, float translate, float box_len,
-                    int extent, int out_size) {
+                    int extent, int buffer) {
   Tap t{};
   const float sample = (static_cast<float>(o) + 0.5f - translate) / scale - 0.5f;
   // content mask: o in [translate - 0.5, translate + scale*box_len - 0.5)
@@ -116,16 +123,19 @@ inline Tap axis_tap(int o, float scale, float translate, float box_len,
   const float a = sample - static_cast<float>(i0);
   float w0 = 1.0f - a, w1 = a;
   int s0 = i0, s1 = i0 + 1;
-  // taps fully left of the buffer are excluded → renormalize the rest
-  if (s0 < 0) {
-    s0 = -1;
-    const float total = w1;
-    w0 = 0.0f;
-    w1 = total > 0.0f ? 1.0f : 0.0f;
+  const bool in0 = s0 >= 0 && s0 < buffer;
+  const bool in1 = s1 >= 0 && s1 < buffer;
+  if (!in0) w0 = 0.0f;
+  if (!in1) w1 = 0.0f;
+  const float total = w0 + w1;
+  if (total > 0.0f) {  // jax divides by the in-buffer weight sum
+    w0 /= total;
+    w1 /= total;
   }
-  // taps past the decimated extent read the buffer's zero padding
-  if (s0 >= extent) s0 = -1;
-  if (s1 >= extent) s1 = -1;
+  // excluded taps, and in-buffer taps past the decimated extent (which
+  // read the zero padding), both contribute zero values
+  if (!in0 || s0 >= extent) s0 = -1;
+  if (!in1 || s1 >= extent) s1 = -1;
   t.i0 = s0;
   t.i1 = s1;
   t.w0 = w0;
@@ -173,8 +183,8 @@ inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
 
   std::vector<detail::Tap> ytap(out_size), xtap(out_size);
   for (int o = 0; o < out_size; ++o) {
-    ytap[o] = detail::axis_tap(o, scale_ctx, ty, bh, h_dec, out_size);
-    xtap[o] = detail::axis_tap(o, scale_ctx, tx, bw, w_dec, out_size);
+    ytap[o] = detail::axis_tap(o, scale_ctx, ty, bh, h_dec, context_size);
+    xtap[o] = detail::axis_tap(o, scale_ctx, tx, bw, w_dec, context_size);
   }
 
   CropResult res;

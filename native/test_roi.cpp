@@ -24,12 +24,17 @@ int main() {
   Box g = roi_to_box({100.f, 500.f, 800.f, 300.f}, 1920, 1080, true);
   assert(g.xmin == 300 && g.xmax == 800 && g.ymin == 100 && g.ymax == 500);
 
-  // general mode: height from ymin/ymax, width = 3/4 height, centered
+  // general mode: ymin/ymax carry only the HEIGHT; placement comes from
+  // the (xcenter, ycenter) center (README: "you specify the center and
+  // the height of the box"), 3:4 width:height
   Box c = roi_to_box({100.f, 500.f, 600.f, 300.f}, 1920, 1080, false);
-  assert(c.ymin == 100 && c.ymax == 500);
+  assert(c.ymin == 100 && c.ymax == 500);  // 300 ± 200
   assert(c.height() == 400);
   assert(c.xmin == 450 && c.xmax == 750);  // 600 ± 150 (w = 0.75*400)
   assert(c.width() == 300);
+  // ycenter off the ymin/ymax midpoint: the box follows the CENTER
+  Box c2 = roi_to_box({100.f, 500.f, 600.f, 350.f}, 1920, 1080, false);
+  assert(c2.ymin == 150 && c2.ymax == 550);
 
   // clamping to the frame
   Box e = roi_to_box({-50.f, 2000.f, 10.f, 500.f}, 1920, 1080, false);

@@ -76,18 +76,23 @@ def _python_reference_crop(frame, box, principal, context_size):
 
 
 @pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
-@pytest.mark.parametrize("box,context_size", [
-    ((40, 30, 200, 107), 672),   # direct path (f = 1), landscape pad
-    ((8, 5, 310, 233), 128),     # oversized box → integer decimation f = 3
+@pytest.mark.parametrize("box,context_size,frame_wh", [
+    ((40, 30, 200, 107), 672, (320, 240)),  # direct path (f = 1), pad
+    ((8, 5, 310, 233), 128, (320, 240)),    # oversized box → decimation f=3
+    # decimated length within one pixel of the context budget (w=1023,
+    # f=8 → bw=127.875, w_dec=128=S): a tap lands at buffer index S and
+    # jax renormalizes the surviving weight — the right-edge case that
+    # diverged by 22 uint8 steps before the buffer-exclusion fix
+    ((1, 2, 1024, 202), 128, (1100, 260)),
 ])
-def test_roi_crop_matches_python_pipeline(box, context_size):
+def test_roi_crop_matches_python_pipeline(box, context_size, frame_wh):
     """The C++ client's ROI→crop→bb pipeline (native/client/airpose_roi.hpp)
     must match the offline eval pipeline (finish_batch) numerically, so
     frames served through the native client agree with compile_results on
     the same capture. Groundtruth-mode ROI carries the box explicitly
     (README field mapping {ymin, ymax, ycenter=xmin, xcenter=xmax})."""
     rng = np.random.default_rng(7)
-    W, H = 320, 240
+    W, H = frame_wh
     principal = (150.0, 110.0)
     frame = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
 
