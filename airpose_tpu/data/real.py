@@ -45,6 +45,21 @@ def _remap(kp: np.ndarray, index_map: np.ndarray) -> np.ndarray:
     return out
 
 
+def person_crop_box(kp: np.ndarray):
+    """Crop window from the keypoint extent ±50 px, clamped to the frame
+    (ref copenet_real.py:188-204). Shared by the host batch builder and
+    the native-client benchtest (which feeds the same box to the C++ ROI
+    pipeline as a groundtruth-mode ROI message)."""
+    valid = kp[:, 2] != 0
+    xs = kp[valid, 0] if valid.any() else np.zeros(1)
+    ys = kp[valid, 1] if valid.any() else np.zeros(1)
+    xmin = max(int(xs.min()) - 50, 0)
+    ymin = max(int(ys.min()) - 50, 0)
+    xmax = min(int(xs.max()) + 50, C.IMG_SIZE[0])
+    ymax = min(int(ys.max()) + 50, C.IMG_SIZE[1])
+    return xmin, ymin, xmax, ymax
+
+
 def load_calib_yml(path: str) -> np.ndarray:
     """Read K from a cv2 FileStorage yml."""
     import cv2
@@ -196,14 +211,7 @@ class CopenetRealDataset:
                 out["gt_j2d_conf"][b, v] = self.opose[cam, idx]
                 out["gt_j2d_alpha"][b, v] = self.apose[cam, idx]
 
-                kp = self.opose[cam, idx]
-                valid = kp[:, 2] != 0
-                xs = kp[valid, 0] if valid.any() else np.zeros(1)
-                ys = kp[valid, 1] if valid.any() else np.zeros(1)
-                xmin = max(int(xs.min()) - 50, 0)
-                ymin = max(int(ys.min()) - 50, 0)
-                xmax = min(int(xs.max()) + 50, C.IMG_SIZE[0])
-                ymax = min(int(ys.max()) + 50, C.IMG_SIZE[1])
+                xmin, ymin, xmax, ymax = person_crop_box(self.opose[cam, idx])
                 out["context_origin"][b, v] = (xmin, ymin)
                 out["person_box"][b, v] = (
                     0.0, 0.0, xmax - xmin, ymax - ymin,

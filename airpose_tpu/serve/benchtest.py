@@ -53,6 +53,19 @@ def _normalize(img_u8: np.ndarray) -> np.ndarray:
     return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
 
 
+def _client_binary() -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(repo, "native", "build", "airpose_client")
+    if not os.path.exists(path):
+        raise RuntimeError(
+            "native client not built — run: cmake -S native -B native/build "
+            "&& cmake --build native/build")
+    return path
+
+
 def run_benchtest(
     variables,
     batches: List[Dict],
@@ -62,6 +75,7 @@ def run_benchtest(
     int8: bool = False,
     measure_rate: bool = False,
     rate_warmup: int = 4,
+    native_roi=None,
 ) -> Dict[str, float]:
     """Replay every frame of ``batches`` (finished real eval batches) through
     two live servers, then compare step3 wire results against the fused
@@ -77,7 +91,17 @@ def run_benchtest(
     the reference's quoted 4 FPS for the synchronized pipeline
     (ref README.md final paragraph). Note both servers share this host's
     one accelerator; a real deployment gives each drone its own, so this
-    under-reports the two-drone rate."""
+    under-reports the two-drone rate.
+
+    ``native_roi`` (a CopenetRealDataset) replaces the Python replay
+    clients with the NATIVE C++ clients in ROI mode: the capture's FULL
+    frames plus the eval pipeline's keypoint-extent crop boxes (as
+    groundtruth-mode NeuralNetworkFeedback ROIs) stream over stdin, and
+    the clients do the crop/resize/bb themselves — the complete replica
+    of the reference's rosbag replay through its ROS client
+    (ref README.md demo instructions). The residual diffs then cover the
+    client-side image path too (bounded by the ≤1-uint8-step crop parity,
+    tests/test_native_client.py)."""
     import jax.numpy as jnp
 
     from ..models import AirPoseTwoView, AirPoseTwoViewSep
@@ -85,6 +109,10 @@ def run_benchtest(
 
     if model is None:
         model = AirPoseTwoViewSep() if sep else AirPoseTwoView()
+    if measure_rate and native_roi is not None:
+        raise ValueError("--rate needs the Python replay clients (the C++ "
+                         "client reports per-frame latency on stdout "
+                         "instead)")
 
     # ---- collect frames: uint8 crops + bb per view ----
     imgs_u8, bbs = [], []
@@ -160,7 +188,65 @@ def run_benchtest(
         except Exception as e:  # surfaced below
             errors.append(e)
 
-    threads = [threading.Thread(target=client, args=(v,)) for v in (0, 1)]
+    def native_client(v):
+        """Drive the C++ client over the capture's full frames (ROI mode)."""
+        try:
+            import os
+            import struct
+            import subprocess
+            import tempfile
+
+            import cv2
+
+            from ..data.real import person_crop_box
+
+            ds = native_roi
+            assert not getattr(ds, "shuffle_cams", False)
+            # view → camera mapping must match the offline batches
+            # (host_batch pins the order from first_cam)
+            cam = (1 - v) if getattr(ds, "first_cam", 0) == 1 else v
+            size = imgs_u8[0][v].shape[0]
+            px = float(ds.intr[cam][0, 2])
+            py = float(ds.intr[cam][1, 2])
+            payload = bytearray()
+            frame_wh = None
+            for idx in range(n):
+                x0, y0, x1, y1 = person_crop_box(ds.opose[cam, idx])
+                # groundtruth-mode ROI field mapping:
+                # {ymin, ymax, xcenter=xmax, ycenter=xmin}
+                payload += struct.pack("<4f", y0, y1, x1, x0)
+                img = cv2.imread(ds.image_paths[cam][idx])[..., ::-1]
+                wh = (img.shape[1], img.shape[0])
+                assert frame_wh in (None, wh), "mixed frame sizes"
+                frame_wh = wh
+                payload += np.ascontiguousarray(img).tobytes()
+            fd, dump = tempfile.mkstemp(suffix=".bin")
+            os.close(fd)
+            try:
+                proc = subprocess.run(
+                    [_client_binary(), "--host", "127.0.0.1",
+                     "--port", str(ports[v]), "--robot-id", str(v + 1),
+                     "--frames", str(n), "--fps", "0", "--size", str(size),
+                     "--mode", "roi", "--img-w", str(frame_wh[0]),
+                     "--img-h", str(frame_wh[1]), "--px", str(px),
+                     "--py", str(py), "--roi-groundtruth",
+                     "--dump-results", dump],
+                    input=bytes(payload), capture_output=True, timeout=900,
+                )
+                if proc.returncode != 0:
+                    raise RuntimeError(
+                        f"native client {v} failed: {proc.stderr.decode()}")
+                rec = np.fromfile(dump, dtype=np.dtype(
+                    [("fid", "<u4"), ("data", "<f4", C.WIRE_NUM_FLOATS)]))
+                assert rec.shape[0] == n, rec.shape
+                served[v][rec["fid"]] = rec["data"]
+            finally:
+                os.unlink(dump)
+        except Exception as e:  # surfaced below
+            errors.append(e)
+
+    client_fn = client if native_roi is None else native_client
+    threads = [threading.Thread(target=client_fn, args=(v,)) for v in (0, 1)]
     for t in threads:
         t.start()
     for t in threads:
@@ -248,6 +334,13 @@ def main(argv=None):
                         "post-warmup; the reference's 4-FPS counterpart)")
     p.add_argument("--rate-warmup", type=int, default=4,
                    help="frames excluded from --rate (jit compilation)")
+    p.add_argument("--native-roi", action="store_true",
+                   help="replay through the NATIVE C++ clients in ROI mode "
+                        "(full frames + crop boxes over stdin; the clients "
+                        "do crop/resize/bb) instead of the Python replay — "
+                        "the complete analog of the reference's rosbag "
+                        "replay through its ROS client; requires the built "
+                        "native/build/airpose_client")
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
     args = p.parse_args(argv)
 
@@ -279,6 +372,7 @@ def main(argv=None):
         variables, batches, model=model,
         sep=args.model == "copenet_twoview_sep", int8=args.int8,
         measure_rate=args.rate, rate_warmup=args.rate_warmup,
+        native_roi=ds if args.native_roi else None,
     )
     for k, v in diffs.items():
         if k == "served_fps":

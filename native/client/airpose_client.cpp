@@ -55,6 +55,7 @@ struct Options {
   float py = 540.0f;
   bool roi_groundtruth = false;
   int context_size = 672;
+  std::string dump_results;  // binary {u32 frame_id, f32 data[145]} records
 };
 
 Options parse(int argc, char** argv) {
@@ -81,6 +82,7 @@ Options parse(int argc, char** argv) {
     else if (a == "--py") o.py = std::atof(next().c_str());
     else if (a == "--roi-groundtruth") o.roi_groundtruth = true;
     else if (a == "--context-size") o.context_size = std::atoi(next().c_str());
+    else if (a == "--dump-results") o.dump_results = next();
     else {
       std::fprintf(stderr, "unknown arg %s\n", a.c_str());
       std::exit(2);
@@ -113,6 +115,14 @@ int main(int argc, char** argv) {
   Options o = parse(argc, argv);
   try {
     airpose::Connection conn(o.host, o.port);
+    FILE* dump = nullptr;
+    if (!o.dump_results.empty()) {
+      dump = std::fopen(o.dump_results.c_str(), "wb");
+      if (!dump) {
+        std::fprintf(stderr, "cannot open %s\n", o.dump_results.c_str());
+        return 1;
+      }
+    }
     std::vector<uint8_t> rgb;
     std::vector<uint8_t> full;  // roi mode: full-resolution frame
     float bb[3] = {0.0f, 0.0f, 1.0f};
@@ -160,6 +170,10 @@ int main(int argc, char** argv) {
         return 1;
       }
       airpose::StepData step = airpose::decode_step(msg.payload);
+      if (dump) {
+        std::fwrite(&step.frame_id, 4, 1, dump);
+        std::fwrite(step.data, 4, airpose::kNumWireFloats, dump);
+      }
       float trans[3];
       step.translation(trans);
       double ms =
@@ -178,6 +192,7 @@ int main(int argc, char** argv) {
           std::this_thread::sleep_for(period - elapsed);
       }
     }
+    if (dump) std::fclose(dump);
   } catch (const std::exception& e) {
     std::fprintf(stderr, "airpose_client: %s\n", e.what());
     return 1;

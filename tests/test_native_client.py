@@ -118,6 +118,47 @@ def test_roi_crop_matches_python_pipeline(box, context_size, frame_wh):
 
 
 @pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
+def test_benchtest_native_roi_replay(tmp_path):
+    """The complete reference rosbag-replay analog: FULL frames + ROI
+    messages stream through the native C++ clients (which crop/resize/
+    bb-encode themselves), two live servers run the 3-round protocol, and
+    step3 must match the fused offline forward on the eval pipeline's own
+    crops. The residual includes the client-side image path — bounded by
+    the ≤1-uint8-step crop parity, so the diffs stay tiny."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_real
+
+    from airpose_tpu.data import CopenetRealDataset
+    from airpose_tpu.eval.compile_results import real_batches
+    from airpose_tpu.serve.benchtest import run_benchtest
+
+    ds_dir = str(tmp_path / "real")
+    os.makedirs(ds_dir)
+    _write_fake_real(ds_dir, n=3)
+    ds = CopenetRealDataset(ds_dir, frame_range=range(0, 3))
+
+    from airpose_tpu.models import AirPoseTwoView
+
+    model = AirPoseTwoView()
+    x = jnp.zeros((1, 2, 64, 64, 3))
+    variables = model.init(
+        jax.random.PRNGKey(9), x, jnp.zeros((1, 2, 3)), jnp.full((1, 2, 3), 0.5)
+    )
+    batches = list(real_batches(ds, 3, out_size=64))
+    diffs = run_benchtest(variables, batches, model=model, native_roi=ds)
+    assert set(diffs) == {
+        "beta_m1", "beta_m2", "trans_m1", "trans_m2", "pose_m1", "pose_m2"
+    }
+    for k, v in diffs.items():
+        # crop parity is ≤1 uint8 step, so the network-amplified residual
+        # stays far below any pose-meaningful scale
+        assert v < 2e-2, (k, v)
+
+
+@pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
 def test_cpp_clients_two_server_sync():
     from airpose_tpu.models import AirPoseTwoView
     from airpose_tpu.serve.server import run_server
