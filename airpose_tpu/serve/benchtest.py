@@ -66,6 +66,34 @@ def _client_binary() -> str:
     return path
 
 
+def ensure_client_built() -> bool:
+    """Build the native client if missing; False if no toolchain/build."""
+    import os
+    import shutil
+    import subprocess
+
+    try:
+        _client_binary()
+        return True
+    except RuntimeError:
+        pass
+    if shutil.which("cmake") is None:
+        return False
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    native = os.path.join(repo, "native")
+    build = os.path.join(native, "build")
+    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
+    try:
+        subprocess.run(["cmake", "-S", native, "-B", build] + gen,
+                       check=True, capture_output=True)
+        subprocess.run(["cmake", "--build", build],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        return False
+    return os.path.exists(os.path.join(build, "airpose_client"))
+
+
 def run_benchtest(
     variables,
     batches: List[Dict],

@@ -187,6 +187,32 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
     assert summary["benchtest_absdiff_pose_m1"] < 1e-3
     print("[8/8] serve benchtest done", flush=True)
 
+    # ---- 8b. native C++ client replay (if a toolchain is available) ----
+    # Full frames + ROI messages through the C++ clients' own
+    # crop/resize/bb path — the complete reference rosbag-replay analog.
+    from ..serve.benchtest import ensure_client_built
+
+    if ensure_client_built():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            bench_main([
+                "--datapath", f"real://{real}", "--frames", "0", str(frames),
+                "--ckpt", converted,
+                "--batch_size", str(min(batch_size, frames)),
+                "--img_res", str(img_res), "--native-roi",
+            ])
+        print(buf.getvalue(), end="", flush=True)
+        for line in buf.getvalue().splitlines():
+            if line.startswith("benchtest_"):
+                k, v = line.split(": ")
+                summary["native_" + k] = float(v)
+        # client-side crop parity is ≤1 uint8 step; the network-amplified
+        # residual stays far below pose-meaningful scales
+        assert summary["native_benchtest_absdiff_pose_m1"] < 2e-2
+        print("[8b/8] native C++ client replay done", flush=True)
+    else:
+        print("[8b/8] native client not buildable here — skipped", flush=True)
+
     # ---- table + summary ----
     print("\n=== dress rehearsal metrics ===")
     for k, v in summary.items():

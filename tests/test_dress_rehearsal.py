@@ -38,6 +38,10 @@ def test_dress_rehearsal_end_to_end(tmp_path):
     assert np.isfinite(summary["ba_loss_final"])
     assert summary["benchtest_absdiff_pose_m1"] < 1e-3
     assert summary["benchtest_served_fps"] > 0
+    # stage 8b runs whenever a C++ toolchain is available (it is in this
+    # image); the native client's own crop path bounds the residual
+    if "native_benchtest_absdiff_pose_m1" in summary:
+        assert summary["native_benchtest_absdiff_pose_m1"] < 2e-2
 
     with open(str(tmp_path / "wd" / "rehearsal_summary.json")) as f:
         on_disk = json.load(f)
