@@ -50,7 +50,8 @@ class AirPoseServer:
 
     def __init__(self, regressor: StagedRegressor, robot_id: int,
                  peer_timeout: float = 10.0,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 log_every: int = 0):
         self.reg = regressor
         self.robot_id = robot_id
         self.peer_timeout = peer_timeout
@@ -67,6 +68,25 @@ class AirPoseServer:
         self.frames_served = 0
         self.max_frames = max_frames
         self.done = asyncio.Event()
+        # operational visibility (the reference's ROS nodes log status
+        # continuously): every N served frames print the real-time health
+        # counters — served/dropped/degraded tell a flight operator
+        # whether the pipeline is keeping up and the peer link is alive
+        self.log_every = log_every
+        self._t0 = None
+
+    def _maybe_log_stats(self):
+        if not self.log_every or self.frames_served % self.log_every:
+            return
+        import time
+        now = time.monotonic()
+        rate = ("" if self._t0 is None else
+                f" rate={self.log_every / max(now - self._t0, 1e-9):.2f} fps")
+        self._t0 = now
+        print(f"[robot {self.robot_id}] served={self.frames_served} "
+              f"dropped={self.frames_dropped} "
+              f"peer_timeouts={self.peer_timeouts}{rate}",
+              flush=True)
 
     # ---- peer message bookkeeping ----
 
@@ -219,6 +239,7 @@ class AirPoseServer:
         writer.write(P.encode_step(P.MSG_RESULT, frame_id, state_to_wire(state)))
         await writer.drain()
         self.frames_served += 1
+        self._maybe_log_stats()
         if self.max_frames is not None and self.frames_served >= self.max_frames:
             # drain() only means below-high-water: flush the final result
             # all the way out before the loop shuts down, or the client
@@ -238,10 +259,11 @@ async def run_server(
     peer_timeout: float = 10.0,
     server: Optional[AirPoseServer] = None,
     max_frames: Optional[int] = None,
+    log_every: int = 0,
 ):
     if server is None:
         server = AirPoseServer(regressor, robot_id, peer_timeout=peer_timeout,
-                               max_frames=max_frames)
+                               max_frames=max_frames, log_every=log_every)
 
     async def on_connect(reader, writer):
         msg = await P.read_message(reader)
@@ -302,6 +324,10 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None,
                         help="serve this many frames, then exit cleanly "
                              "(bounded demo/test runs; default: forever)")
+    parser.add_argument("--log-every", type=int, default=0,
+                        help="print served/dropped/peer-timeout counters and "
+                             "the recent serve rate every N frames "
+                             "(operational health; default: off)")
     parser.add_argument("--peer-timeout", type=float, default=10.0,
                         help="seconds to wait for a peer step message before "
                              "degrading to its last known state (flight "
@@ -336,7 +362,7 @@ def main(argv=None):
     asyncio.run(
         run_server(reg, args.robot_id, args.port, args.peer_host,
                    args.peer_port, peer_timeout=args.peer_timeout,
-                   max_frames=args.max_frames)
+                   max_frames=args.max_frames, log_every=args.log_every)
     )
 
 

@@ -317,6 +317,38 @@ def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
     np.testing.assert_allclose(data, want, atol=1e-4)
 
 
+def test_server_stats_logging(served_model, rng, capfd):
+    """--log-every: the real-time health counters (served/dropped/
+    peer-timeouts, recent rate) print every N served frames — the
+    operational visibility the reference's ROS nodes provided via
+    continuous status logging."""
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    srv = AirPoseServer(StagedRegressor(variables), robot_id=1,
+                        peer_timeout=0.05, log_every=1)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop, lt = _start_loop_with_server(srv, port)
+    try:
+        img = (rng.random((224, 224, 3)) * 255).astype(np.uint8)
+        bb = np.asarray([0.0, 0.0, 1.0], np.float32)
+        init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+        for f in (0, 1):
+            _client_request(port, f, img, bb, init_trans)
+    finally:
+        _stop_loop(loop, lt)
+
+    out = capfd.readouterr().out
+    lines = [l for l in out.splitlines() if l.startswith("[robot 1]")]
+    assert len(lines) == 2, out
+    assert "served=1" in lines[0] and "rate=" not in lines[0]
+    assert "served=2" in lines[1] and "rate=" in lines[1]
+    assert "peer_timeouts=4" in lines[1]  # 2 degraded rounds per frame
+
+
 def test_latest_frame_wins_drop_policy(served_model, rng):
     """Real-time semantics: a backlog of frames is dropped down to the
     newest (the reference's 4-FPS loop drops to stay real-time). A slowed
