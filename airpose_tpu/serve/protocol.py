@@ -39,6 +39,17 @@ MSG_HELLO = 5  # peer-link handshake: payload = u32 robot_id
 
 _HEADER = struct.Struct("<IBI")
 
+# Largest legal payload. Bounds what the readers will buffer for one
+# message, so a corrupt/hostile length prefix (u32 → up to 4 GB) cannot
+# exhaust server memory: a 1024×1024 RGB frame message is ~3 MB, 64 MB
+# leaves wide margin for any legitimate message.
+MAX_PAYLOAD = 1 << 26
+
+
+class ProtocolError(ValueError):
+    """Malformed wire data (bad framing or inconsistent payload). Servers
+    treat this as a broken connection — log and close — never a crash."""
+
 
 def pack_params(betas: np.ndarray, trans: np.ndarray, pose6d: np.ndarray) -> np.ndarray:
     """(10,), (3,) unscaled camera-frame translation, (132,) 6D pose →
@@ -74,10 +85,16 @@ def encode_image(robot_id: int, frame_id: int, bb: np.ndarray,
 
 
 def decode_image(payload: bytes):
+    if len(payload) < 40:
+        raise ProtocolError(f"IMAGE payload too short ({len(payload)} bytes)")
     robot_id, frame_id = struct.unpack_from("<II", payload, 0)
     bb = np.frombuffer(payload, np.float32, 3, 8)
     init_trans = np.frombuffer(payload, np.float32, 3, 20)
     h, w = struct.unpack_from("<II", payload, 32)
+    if h == 0 or w == 0 or len(payload) != 40 + h * w * 3:
+        raise ProtocolError(
+            f"IMAGE dims {h}x{w} inconsistent with payload "
+            f"({len(payload)} bytes)")
     img = np.frombuffer(payload, np.uint8, h * w * 3, 40).reshape(h, w, 3)
     return robot_id, frame_id, bb, init_trans, img
 
@@ -89,21 +106,32 @@ def encode_step(msg_type: int, frame_id: int, data: np.ndarray) -> bytes:
 
 
 def decode_step(payload: bytes):
+    if len(payload) != 4 + 4 * C.WIRE_NUM_FLOATS:
+        raise ProtocolError(f"step payload is {len(payload)} bytes, "
+                            f"want {4 + 4 * C.WIRE_NUM_FLOATS}")
     (frame_id,) = struct.unpack_from("<I", payload, 0)
     data = np.frombuffer(payload, np.float32, C.WIRE_NUM_FLOATS, 4)
     return frame_id, data
 
 
 async def read_message(reader) -> Optional[Tuple[int, bytes]]:
-    """Read one framed message from an asyncio StreamReader; None on EOF."""
+    """Read one framed message from an asyncio StreamReader; None on EOF
+    (including a connection dropped mid-message). Raises ProtocolError on
+    bad framing — the stream is unrecoverable past that point (no resync
+    marker), so callers close the connection."""
     try:
         header = await reader.readexactly(_HEADER.size)
     except Exception:
         return None
     magic, msg_type, length = _HEADER.unpack(header)
     if magic != MAGIC:
-        raise ValueError(f"bad magic {magic:#x}")
-    payload = await reader.readexactly(length) if length else b""
+        raise ProtocolError(f"bad magic {magic:#x}")
+    if length > MAX_PAYLOAD:
+        raise ProtocolError(f"payload length {length} exceeds {MAX_PAYLOAD}")
+    try:
+        payload = await reader.readexactly(length) if length else b""
+    except Exception:
+        return None
     return msg_type, payload
 
 
@@ -123,6 +151,10 @@ def read_message_sync(sock) -> Optional[Tuple[int, bytes]]:
         return None
     magic, msg_type, length = _HEADER.unpack(header)
     if magic != MAGIC:
-        raise ValueError(f"bad magic {magic:#x}")
+        raise ProtocolError(f"bad magic {magic:#x}")
+    if length > MAX_PAYLOAD:
+        raise ProtocolError(f"payload length {length} exceeds {MAX_PAYLOAD}")
     payload = recv_all(length) if length else b""
+    if payload is None:  # connection dropped mid-message: EOF
+        return None
     return msg_type, payload

@@ -145,8 +145,13 @@ class AirPoseServer:
             await asyncio.sleep(0.1)
         if self.peer_writer is None:
             return
-        self.peer_writer.write(P.encode_step(msg_type, frame_id, data))
-        await self.peer_writer.drain()
+        try:
+            self.peer_writer.write(P.encode_step(msg_type, frame_id, data))
+            await self.peer_writer.drain()
+        except (ConnectionError, RuntimeError):
+            # peer dropped mid-write: forget the link (peer_loop's close
+            # races this) and keep serving degraded
+            self.peer_writer = None
 
     # ---- connection handlers ----
 
@@ -162,6 +167,11 @@ class AirPoseServer:
                 msg = await P.read_message(reader)
                 if msg is None:
                     break
+        except P.ProtocolError as e:
+            # A corrupt peer stream cannot be resynced — drop the link and
+            # keep serving degraded (lag-one/mean peer), never crash
+            print(f"[robot {self.robot_id}] peer link protocol error: {e}; "
+                  "closing peer connection", flush=True)
         finally:
             # Close the transport when the handler exits — INCLUDING on
             # cancellation. Server.wait_closed() (3.12+) waits for every
@@ -169,6 +179,11 @@ class AirPoseServer:
             # leaves its writer open keeps the peer link's connection
             # alive forever and run_server hangs mid-cancel (the
             # "Task was destroyed but it is pending" unraisable).
+            if self.peer_writer is writer:
+                # back to no-peer mode: frames keep flowing with the
+                # mean/lag-one fallback, and a reconnecting peer can
+                # re-establish the link
+                self.peer_writer = None
             try:
                 writer.close()
             except RuntimeError:
@@ -183,7 +198,16 @@ class AirPoseServer:
 
         async def pump():
             while True:
-                msg = await P.read_message(reader)
+                try:
+                    msg = await P.read_message(reader)
+                except P.ProtocolError as e:
+                    # corrupt framing: the stream has no resync marker, so
+                    # report and treat as EOF — the consumer below MUST
+                    # still get its sentinel or it waits on the queue
+                    # forever with the connection leaked
+                    print(f"[robot {self.robot_id}] client protocol error: "
+                          f"{e}; closing connection", flush=True)
+                    msg = None
                 q.put_nowait(msg)  # None marks EOF
                 if msg is None:
                     return
@@ -205,7 +229,12 @@ class AirPoseServer:
                         self.frames_dropped += 1
                     msg = nxt
                 if msg is not None and msg[0] == P.MSG_IMAGE:
-                    await self._process_frame(writer, msg[1])
+                    try:
+                        await self._process_frame(writer, msg[1])
+                    except P.ProtocolError as e:
+                        print(f"[robot {self.robot_id}] bad IMAGE payload: "
+                              f"{e}; closing connection", flush=True)
+                        break
         finally:
             pump_task.cancel()
             try:  # see peer_loop: detach from Server.wait_closed()
@@ -266,8 +295,14 @@ async def run_server(
                                max_frames=max_frames, log_every=log_every)
 
     async def on_connect(reader, writer):
-        msg = await P.read_message(reader)
+        try:
+            msg = await P.read_message(reader)
+        except P.ProtocolError as e:
+            print(f"[robot {robot_id}] rejected connection: {e}", flush=True)
+            writer.close()
+            return
         if msg is None:
+            writer.close()
             return
         if msg[0] == P.MSG_IMAGE:
             await server.client_loop(reader, writer, first=msg)

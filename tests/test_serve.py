@@ -317,6 +317,77 @@ def test_degraded_single_server_serves_with_mean_peer(served_model, rng):
     np.testing.assert_allclose(data, want, atol=1e-4)
 
 
+def test_malformed_clients_do_not_kill_server(served_model, rng):
+    """Hostile/corrupt wire input: bad magic, a multi-GB length prefix, and
+    an IMAGE whose declared dims disagree with its payload must each get
+    their connection closed — not crash a handler task, hang its queue
+    consumer, or buffer unbounded memory — and the server must still serve
+    a well-formed client afterwards."""
+    import struct
+
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    reg = StagedRegressor(variables)
+    srv = AirPoseServer(reg, robot_id=1, peer_timeout=0.1)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop, lt = _start_loop_with_server(srv, port)
+
+    def expect_closed(raw):
+        sock = socket.create_connection(("127.0.0.1", port), timeout=10)
+        sock.sendall(raw)
+        sock.settimeout(10)
+        assert sock.recv(1) == b""  # server closed the connection
+        sock.close()
+
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    bb = np.asarray([0.0, 0.0, 1.0], np.float32)
+    init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
+    try:
+        # garbage bytes: bad magic
+        expect_closed(b"\xde\xad\xbe\xef" * 8)
+        # oversized length prefix (would buffer ~4 GB without the cap)
+        expect_closed(struct.pack("<IBI", P.MAGIC, P.MSG_IMAGE, 0xFFFFFFF0))
+        # inconsistent IMAGE dims: header claims 512x512, payload has 64x64
+        good = P.encode_image(0, 1, bb, init_trans, img)
+        bad = bytearray(good)
+        struct.pack_into("<II", bad, 9 + 32, 512, 512)
+        expect_closed(bytes(bad))
+        # mid-frame corruption: one valid frame, then garbage framing on
+        # the same connection — the pump must enqueue the EOF sentinel
+        # (not strand the consumer) and the result still arrives
+        sock = socket.create_connection(("127.0.0.1", port), timeout=30)
+        sock.sendall(P.encode_image(0, 5, bb, init_trans, img))
+        msg = P.read_message_sync(sock)
+        assert msg is not None and msg[0] == P.MSG_RESULT
+        sock.sendall(b"\x00" * 16)
+        sock.settimeout(10)
+        assert sock.recv(1) == b""
+        sock.close()
+        # the server is still alive and serves a well-formed client
+        fid, data = _client_request(port, 9, img, bb, init_trans)
+        assert fid == 9 and np.isfinite(data).all()
+    finally:
+        _stop_loop(loop, lt)
+
+
+def test_protocol_rejects_malformed_payloads():
+    """Decoder-level validation: truncated/oversized payloads raise
+    ProtocolError instead of tearing down with numpy/struct internals."""
+    with pytest.raises(P.ProtocolError):
+        P.decode_step(b"\x00" * 8)  # step needs 4 + 145*4 bytes
+    with pytest.raises(P.ProtocolError):
+        P.decode_image(b"\x00" * 12)  # shorter than the fixed header
+    ok = P.pack_params(np.zeros(10), np.zeros(3), np.zeros(132))
+    raw = P.encode_step(P.MSG_STEP1, 3, ok)
+    fid, data = P.decode_step(raw[9:])
+    assert fid == 3 and data.shape == (145,)
+
+
 def test_server_stats_logging(served_model, rng, capfd):
     """--log-every: the real-time health counters (served/dropped/
     peer-timeouts, recent rate) print every N served frames — the
