@@ -124,3 +124,5 @@ class AircapDataset(CopenetRealDataset):
                     self.extr[m, i, :3, :3] = np.eye(3)
                 else:
                     self.extr[m, i] = np.asarray(e, np.float32).reshape(4, 4)
+
+        self._probe_frame_wh()

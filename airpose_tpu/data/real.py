@@ -45,18 +45,22 @@ def _remap(kp: np.ndarray, index_map: np.ndarray) -> np.ndarray:
     return out
 
 
-def person_crop_box(kp: np.ndarray):
+def person_crop_box(kp: np.ndarray, frame_wh=C.IMG_SIZE):
     """Crop window from the keypoint extent ±50 px, clamped to the frame
     (ref copenet_real.py:188-204). Shared by the host batch builder and
     the native-client benchtest (which feeds the same box to the C++ ROI
-    pipeline as a groundtruth-mode ROI message)."""
+    pipeline as a groundtruth-mode ROI message). ``frame_wh`` must be the
+    capture's ACTUAL frame size (e.g. a --downsample'd prepare_real_capture
+    output is 960×540): clamping at the default 1920×1080 would record a
+    box wider than the decoded crop, skewing bb/context_extent — and
+    diverge from the C++ ROI client, which clamps to the real frame."""
     valid = kp[:, 2] != 0
     xs = kp[valid, 0] if valid.any() else np.zeros(1)
     ys = kp[valid, 1] if valid.any() else np.zeros(1)
     xmin = max(int(xs.min()) - 50, 0)
     ymin = max(int(ys.min()) - 50, 0)
-    xmax = min(int(xs.max()) + 50, C.IMG_SIZE[0])
-    ymax = min(int(ys.max()) + 50, C.IMG_SIZE[1])
+    xmax = min(int(xs.max()) + 50, frame_wh[0])
+    ymax = min(int(ys.max()) + 50, frame_wh[1])
     return xmin, ymin, xmax, ymax
 
 
@@ -94,6 +98,12 @@ class CopenetRealDataset:
              for i in self.frames]
             for m in (1, 2)
         ]
+
+        # Actual frame size (clamp bound for person_crop_box): probe the
+        # first readable frame — downsampled captures are smaller than the
+        # nominal 1920×1080. Falls back to the nominal size when no frame
+        # decodes (keypoints-only uses).
+        self._probe_frame_wh()
 
         opose = np.zeros((2, n, 24, 3), np.float32)
         apose = np.zeros((2, n, 24, 3), np.float32)
@@ -153,6 +163,22 @@ class CopenetRealDataset:
                 self.extr[m, c, :3, :3] = R
                 self.extr[m, c, :3, 3] = np.asarray(entry["tvec"], np.float32).reshape(3)
 
+    def _probe_frame_wh(self):
+        """Set ``frame_wh`` from the first readable frame — downsampled
+        captures are smaller than the nominal 1920×1080, and the crop-box
+        clamp must match the real frame. Falls back to the nominal size
+        when no frame decodes (keypoints-only uses). Shared with
+        AircapDataset (same image_paths layout)."""
+        import cv2
+
+        self.frame_wh = tuple(C.IMG_SIZE)
+        probe = [p for pair in list(zip(*self.image_paths))[:4] for p in pair]
+        for p in probe:  # bounded: images may be absent
+            img = cv2.imread(p)
+            if img is not None:
+                self.frame_wh = (img.shape[1], img.shape[0])
+                break
+
     def __len__(self):
         return len(self.frames)
 
@@ -211,7 +237,8 @@ class CopenetRealDataset:
                 out["gt_j2d_conf"][b, v] = self.opose[cam, idx]
                 out["gt_j2d_alpha"][b, v] = self.apose[cam, idx]
 
-                xmin, ymin, xmax, ymax = person_crop_box(self.opose[cam, idx])
+                xmin, ymin, xmax, ymax = person_crop_box(
+                    self.opose[cam, idx], self.frame_wh)
                 out["context_origin"][b, v] = (xmin, ymin)
                 out["person_box"][b, v] = (
                     0.0, 0.0, xmax - xmin, ymax - ymin,

@@ -66,23 +66,26 @@ def _client_binary() -> str:
     return path
 
 
-def ensure_client_built() -> bool:
-    """Build the native client if missing; False if no toolchain/build."""
+def ensure_client_built(targets=("airpose_client",)) -> bool:
+    """Build the native binaries if any of ``targets`` is missing; False if
+    no toolchain or the build fails. The single cmake recipe for every
+    caller (benchtest --native-roi, the e2e/parity tests)."""
     import os
     import shutil
     import subprocess
 
-    try:
-        _client_binary()
-        return True
-    except RuntimeError:
-        pass
-    if shutil.which("cmake") is None:
-        return False
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
+    build = os.path.join(repo, "native", "build")
+
+    def _all_built():
+        return all(os.path.exists(os.path.join(build, t)) for t in targets)
+
+    if _all_built():
+        return True
+    if shutil.which("cmake") is None:
+        return False
     native = os.path.join(repo, "native")
-    build = os.path.join(native, "build")
     gen = ["-G", "Ninja"] if shutil.which("ninja") else []
     try:
         subprocess.run(["cmake", "-S", native, "-B", build] + gen,
@@ -91,7 +94,7 @@ def ensure_client_built() -> bool:
                        check=True, capture_output=True)
     except subprocess.CalledProcessError:
         return False
-    return os.path.exists(os.path.join(build, "airpose_client"))
+    return _all_built()
 
 
 def run_benchtest(
@@ -217,7 +220,12 @@ def run_benchtest(
             errors.append(e)
 
     def native_client(v):
-        """Drive the C++ client over the capture's full frames (ROI mode)."""
+        """Drive the C++ client over the capture's full frames (ROI mode).
+
+        Frames stream to the subprocess one at a time (the client reads
+        frame-by-frame, so stdin backpressure keeps ~one frame in flight)
+        instead of materializing the whole multi-hundred-MB replay in
+        memory."""
         try:
             import os
             import struct
@@ -236,34 +244,58 @@ def run_benchtest(
             size = imgs_u8[0][v].shape[0]
             px = float(ds.intr[cam][0, 2])
             py = float(ds.intr[cam][1, 2])
-            payload = bytearray()
-            frame_wh = None
-            for idx in range(n):
-                x0, y0, x1, y1 = person_crop_box(ds.opose[cam, idx])
-                # groundtruth-mode ROI field mapping:
-                # {ymin, ymax, xcenter=xmax, ycenter=xmin}
-                payload += struct.pack("<4f", y0, y1, x1, x0)
-                img = cv2.imread(ds.image_paths[cam][idx])[..., ::-1]
-                wh = (img.shape[1], img.shape[0])
-                assert frame_wh in (None, wh), "mixed frame sizes"
-                frame_wh = wh
-                payload += np.ascontiguousarray(img).tobytes()
+            # the clamp bound must be the capture's ACTUAL frame size (the
+            # offline host_batch clamps the same way) — a downsampled
+            # capture is smaller than the nominal 1920×1080
+            frame_w, frame_h = ds.frame_wh
             fd, dump = tempfile.mkstemp(suffix=".bin")
             os.close(fd)
             try:
-                proc = subprocess.run(
+                proc = subprocess.Popen(
                     [_client_binary(), "--host", "127.0.0.1",
                      "--port", str(ports[v]), "--robot-id", str(v + 1),
                      "--frames", str(n), "--fps", "0", "--size", str(size),
-                     "--mode", "roi", "--img-w", str(frame_wh[0]),
-                     "--img-h", str(frame_wh[1]), "--px", str(px),
+                     "--mode", "roi", "--img-w", str(frame_w),
+                     "--img-h", str(frame_h), "--px", str(px),
                      "--py", str(py), "--roi-groundtruth",
                      "--dump-results", dump],
-                    input=bytes(payload), capture_output=True, timeout=900,
+                    stdin=subprocess.PIPE,
+                    stdout=subprocess.DEVNULL,  # per-frame latency lines
+                    stderr=subprocess.PIPE,
                 )
-                if proc.returncode != 0:
-                    raise RuntimeError(
-                        f"native client {v} failed: {proc.stderr.decode()}")
+                try:
+                    for idx in range(n):
+                        x0, y0, x1, y1 = person_crop_box(
+                            ds.opose[cam, idx], ds.frame_wh)
+                        path = ds.image_paths[cam][idx]
+                        img = cv2.imread(path)
+                        if img is None:
+                            raise FileNotFoundError(
+                                f"native-roi replay: frame unreadable: {path}")
+                        if (img.shape[1], img.shape[0]) != (frame_w, frame_h):
+                            raise ValueError(
+                                f"mixed frame sizes: {path} is "
+                                f"{img.shape[1]}x{img.shape[0]}, capture is "
+                                f"{frame_w}x{frame_h}")
+                        # groundtruth-mode ROI field mapping:
+                        # {ymin, ymax, xcenter=xmax, ycenter=xmin}
+                        try:
+                            proc.stdin.write(struct.pack("<4f", y0, y1, x1, x0))
+                            proc.stdin.write(
+                                np.ascontiguousarray(img[..., ::-1]).tobytes())
+                        except BrokenPipeError:
+                            raise RuntimeError(
+                                f"native client {v} exited early: "
+                                f"{proc.stderr.read().decode()}")
+                    proc.stdin.close()
+                    stderr = proc.stderr.read()
+                    if proc.wait(timeout=900) != 0:
+                        raise RuntimeError(
+                            f"native client {v} failed: {stderr.decode()}")
+                finally:
+                    if proc.poll() is None:
+                        proc.kill()
+                        proc.wait()
                 rec = np.fromfile(dump, dtype=np.dtype(
                     [("fid", "<u4"), ("data", "<f4", C.WIRE_NUM_FLOATS)]))
                 assert rec.shape[0] == n, rec.shape

@@ -45,6 +45,13 @@ _HEADER = struct.Struct("<IBI")
 # leaves wide margin for any legitimate message.
 MAX_PAYLOAD = 1 << 26
 
+# Largest legal IMAGE side. The served crop is IMG_RES (224); 2048 leaves
+# wide margin for any legitimate client while keeping a hostile
+# well-framed IMAGE from forcing multi-GB device buffers (the per-shape
+# jit-compile exhaustion is closed one layer up: the server pins the crop
+# shape to the first frame it serves).
+MAX_IMAGE_DIM = 2048
+
 
 class ProtocolError(ValueError):
     """Malformed wire data (bad framing or inconsistent payload). Servers
@@ -91,10 +98,11 @@ def decode_image(payload: bytes):
     bb = np.frombuffer(payload, np.float32, 3, 8)
     init_trans = np.frombuffer(payload, np.float32, 3, 20)
     h, w = struct.unpack_from("<II", payload, 32)
-    if h == 0 or w == 0 or len(payload) != 40 + h * w * 3:
+    if h == 0 or w == 0 or h > MAX_IMAGE_DIM or w > MAX_IMAGE_DIM \
+            or len(payload) != 40 + h * w * 3:
         raise ProtocolError(
             f"IMAGE dims {h}x{w} inconsistent with payload "
-            f"({len(payload)} bytes)")
+            f"({len(payload)} bytes) or beyond {MAX_IMAGE_DIM}px")
     img = np.frombuffer(payload, np.uint8, h * w * 3, 40).reshape(h, w, 3)
     return robot_id, frame_id, bb, init_trans, img
 

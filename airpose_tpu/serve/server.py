@@ -68,6 +68,7 @@ class AirPoseServer:
         self.frames_served = 0
         self.max_frames = max_frames
         self.done = asyncio.Event()
+        self._img_shape = None  # pinned to the first served frame
         # operational visibility (the reference's ROS nodes log status
         # continuously): every N served frames print the real-time health
         # counters — served/dropped/degraded tell a flight operator
@@ -143,15 +144,20 @@ class AirPoseServer:
             if self.peer_writer is not None:
                 break
             await asyncio.sleep(0.1)
-        if self.peer_writer is None:
+        writer = self.peer_writer
+        if writer is None:
             return
         try:
-            self.peer_writer.write(P.encode_step(msg_type, frame_id, data))
-            await self.peer_writer.drain()
+            writer.write(P.encode_step(msg_type, frame_id, data))
+            await writer.drain()
         except (ConnectionError, RuntimeError):
-            # peer dropped mid-write: forget the link (peer_loop's close
-            # races this) and keep serving degraded
-            self.peer_writer = None
+            # peer dropped mid-write: forget the link and keep serving
+            # degraded — but only if it is still the CURRENT link. drain()
+            # suspends, and a reconnecting peer may have installed a fresh
+            # writer meanwhile; clearing unconditionally would discard the
+            # live new link (same guard as peer_loop's finally).
+            if self.peer_writer is writer:
+                self.peer_writer = None
 
     # ---- connection handlers ----
 
@@ -245,6 +251,18 @@ class AirPoseServer:
     async def _process_frame(self, writer, payload: bytes):
         """The 3-round protocol for one frame (SURVEY.md §3.5)."""
         _, frame_id, bb, init_trans, img = P.decode_image(payload)
+
+        # Pin the crop shape to the first served frame: every distinct
+        # (h, w) reaching step1 costs a fresh XLA compile (30 s–3 min on a
+        # remote-compile backend) while holding self._lock — a client
+        # streaming varying legal dims would stall BOTH drones' serving.
+        # A legitimate deployment uses one fixed crop size per flight.
+        if self._img_shape is None:
+            self._img_shape = img.shape
+        elif img.shape != self._img_shape:
+            raise P.ProtocolError(
+                f"IMAGE shape {img.shape} differs from this server's "
+                f"pinned shape {self._img_shape}")
 
         # Round 1: trunk + IEF iter 1 (mean peer), publish step1. The raw
         # uint8 crop goes straight to the device — normalization is fused

@@ -33,6 +33,10 @@ namespace airpose {
 constexpr uint32_t kMagic = 0xA19B0001u;
 constexpr int kNumWireFloats = 145;
 constexpr float kTransScale = 0.05f;
+// Largest legal payload — mirrors protocol.py's MAX_PAYLOAD so a corrupt
+// or hostile length prefix (u32 → up to 4 GB) cannot make the drone-side
+// client allocate unbounded memory mid-flight.
+constexpr uint32_t kMaxPayload = 1u << 26;
 
 enum MsgType : uint8_t {
   kImage = 1,
@@ -162,6 +166,7 @@ class Connection {
     Message msg;
     msg.type = header[4];
     uint32_t len = get_u32(header + 5);
+    if (len > kMaxPayload) throw std::runtime_error("payload too large");
     msg.payload.resize(len);
     if (len) recv_all(msg.payload.data(), len);
     return msg;

@@ -184,8 +184,11 @@ def test_aerialpeople_reader_end_to_end(tmp_path, rng):
     )
 
 
-def _write_fake_real(root, n=4):
+def _write_fake_real(root, n=4, scale=1.0):
+    """``scale`` < 1 writes a downsampled capture (prepare_real_capture
+    --downsample layout): frames, keypoints, and K all shrunk together."""
     rng = np.random.default_rng(1)
+    W, H = int(1920 * scale), int(1080 * scale)
     for m in (1, 2):
         os.makedirs(os.path.join(root, f"machine_{m}", "images"), exist_ok=True)
         op, marker = {}, {}
@@ -193,13 +196,13 @@ def _write_fake_real(root, n=4):
         for i in range(n):
             key = f"{i:06d}"
             kp25 = np.zeros((1, 25, 3), np.float32)
-            kp25[0, :, 0] = rng.uniform(800, 1100, 25)
-            kp25[0, :, 1] = rng.uniform(400, 700, 25)
+            kp25[0, :, 0] = rng.uniform(800, 1100, 25) * scale
+            kp25[0, :, 1] = rng.uniform(400, 700, 25) * scale
             kp25[0, :, 2] = 0.9
             op[key] = {"pose": kp25}
             kp18 = np.zeros((18, 3), np.float32)
-            kp18[:, 0] = kp25[0, :18, 0] + rng.normal(0, 3, 18)
-            kp18[:, 1] = kp25[0, :18, 1] + rng.normal(0, 3, 18)
+            kp18[:, 0] = kp25[0, :18, 0] + rng.normal(0, 3, 18) * scale
+            kp18[:, 1] = kp25[0, :18, 1] + rng.normal(0, 3, 18) * scale
             kp18[:, 2] = 0.8
             ap[key] = {"people": [{"pose_keypoints_2d": kp18.reshape(-1).tolist()}]}
             marker[key] = {
@@ -209,7 +212,7 @@ def _write_fake_real(root, n=4):
                 }
             }
             img = (rng.random((1080 // 4, 1920 // 4, 3)) * 255).astype(np.uint8)
-            img = cv2.resize(img, (1920, 1080))
+            img = cv2.resize(img, (W, H))
             cv2.imwrite(os.path.join(root, f"machine_{m}", "images", f"{key}.jpg"), img)
         with open(os.path.join(root, f"machine_{m}", "openpose_res.pkl"), "wb") as f:
             pickle.dump(op, f)
@@ -219,7 +222,8 @@ def _write_fake_real(root, n=4):
             os.path.join(root, f"machine_{m}", "markerposes_corrected_all.pkl"), "wb"
         ) as f:
             pickle.dump(marker, f)
-        K = np.asarray([[1537.0, 0, 960], [0, 1517.0, 540], [0, 0, 1]])
+        K = np.asarray([[1537.0 * scale, 0, 960 * scale],
+                        [0, 1517.0 * scale, 540 * scale], [0, 0, 1]])
         fs = cv2.FileStorage(
             os.path.join(root, f"machine_{m}", "camera_calib.yml"),
             cv2.FILE_STORAGE_WRITE,
@@ -295,6 +299,34 @@ def test_real_reader_end_to_end(tmp_path, rng):
     assert batch["images"].shape == (2, 2, 224, 224, 3)
     assert batch["gt_j2d_conf"].shape == (2, 2, 24, 3)
     assert np.isfinite(np.asarray(batch["images"])).all()
+
+
+def test_real_reader_downsampled_capture_clamps_to_frame(tmp_path, rng):
+    """A --downsample'd capture (960×540 frames): the reader must probe the
+    ACTUAL frame size and clamp crop boxes to it — clamping at the nominal
+    1920×1080 records context extents wider than the decoded crop (skewed
+    bb) and diverges from the C++ ROI client, which clamps to the real
+    frame."""
+    from airpose_tpu.data.real import CopenetRealDataset, person_crop_box
+
+    _write_fake_real(str(tmp_path), n=2, scale=0.5)
+    ds = CopenetRealDataset(str(tmp_path), frame_range=range(0, 2))
+    assert ds.frame_wh == (960, 540)
+    for cam in (0, 1):
+        for idx in (0, 1):
+            x0, y0, x1, y1 = person_crop_box(ds.opose[cam, idx], ds.frame_wh)
+            assert x1 <= 960 and y1 <= 540
+    # the recorded context extent equals the decoded crop's extent
+    hb = ds.host_batch([0, 1], rng)
+    for b in range(2):
+        for v in (0, 1):
+            w, h = hb["context_extent"][b, v]
+            f = hb["context_scale"][b, v]
+            x0, y0 = hb["context_origin"][b, v]
+            assert x0 + w * f <= 960 and y0 + h * f <= 540
+            # the pixels beyond the extent are the zero pad, not image
+            ctx = hb["context"][b, v]
+            assert (ctx[int(h):] == 0).all() and (ctx[:, int(w):] == 0).all()
 
 
 def test_real_reader_gating(tmp_path, rng):

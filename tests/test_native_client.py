@@ -4,7 +4,6 @@ running the full 3-round synchronization at 4 FPS."""
 
 import asyncio
 import os
-import shutil
 import socket
 import subprocess
 import threading
@@ -22,23 +21,11 @@ ROI_TOOL = os.path.join(NATIVE, "build", "roi_tool")
 
 
 def _ensure_client_built():
-    if os.path.exists(CLIENT) and os.path.exists(ROI_TOOL):
-        return True
-    if shutil.which("cmake") is None:
-        return False
-    gen = ["-G", "Ninja"] if shutil.which("ninja") else []
-    try:
-        subprocess.run(
-            ["cmake", "-S", NATIVE, "-B", os.path.join(NATIVE, "build")] + gen,
-            check=True, capture_output=True,
-        )
-        subprocess.run(
-            ["cmake", "--build", os.path.join(NATIVE, "build")],
-            check=True, capture_output=True,
-        )
-    except subprocess.CalledProcessError:
-        return False
-    return os.path.exists(CLIENT) and os.path.exists(ROI_TOOL)
+    """Build via the product code's own helper (benchtest drives the same
+    cmake recipe); this test additionally needs the roi_tool binary."""
+    from airpose_tpu.serve.benchtest import ensure_client_built
+
+    return ensure_client_built(targets=("airpose_client", "roi_tool"))
 
 
 def _python_reference_crop(frame, box, principal, context_size):

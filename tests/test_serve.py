@@ -368,6 +368,17 @@ def test_malformed_clients_do_not_kill_server(served_model, rng):
         sock.settimeout(10)
         assert sock.recv(1) == b""
         sock.close()
+        # well-formed but absurd dims (beyond MAX_IMAGE_DIM): would force a
+        # multi-GB device buffer; the decoder rejects it outright
+        big = P.MAX_IMAGE_DIM + 1
+        hdr = struct.pack("<II", 0, 7) + bb.tobytes() + init_trans.tobytes()
+        hdr += struct.pack("<II", big, 1)
+        expect_closed(P.frame(P.MSG_IMAGE, hdr + b"\x00" * (big * 3)))
+        # shape-change after the pin: each distinct (h, w) costs a fresh
+        # XLA compile under the serve lock, so the server pins the crop
+        # shape to its first frame and drops clients that switch
+        expect_closed(P.encode_image(
+            0, 8, bb, init_trans, img[:32, :32]))
         # the server is still alive and serves a well-formed client
         fid, data = _client_request(port, 9, img, bb, init_trans)
         assert fid == 9 and np.isfinite(data).all()
@@ -382,6 +393,11 @@ def test_protocol_rejects_malformed_payloads():
         P.decode_step(b"\x00" * 8)  # step needs 4 + 145*4 bytes
     with pytest.raises(P.ProtocolError):
         P.decode_image(b"\x00" * 12)  # shorter than the fixed header
+    with pytest.raises(P.ProtocolError):  # dims beyond MAX_IMAGE_DIM
+        import struct as _s
+        big = P.MAX_IMAGE_DIM + 1
+        P.decode_image(_s.pack("<II", 0, 0) + b"\x00" * 24
+                       + _s.pack("<II", big, 1) + b"\x00" * (big * 3))
     ok = P.pack_params(np.zeros(10), np.zeros(3), np.zeros(132))
     raw = P.encode_step(P.MSG_STEP1, 3, ok)
     fid, data = P.decode_step(raw[9:])
