@@ -50,6 +50,15 @@ JOINT_MAP = {
 # Selectors (ref constants.py:104-110).
 H36M_TO_J17 = [6, 5, 4, 1, 2, 3, 16, 15, 14, 11, 12, 13, 8, 10, 0, 7, 9]
 H36M_TO_J14 = H36M_TO_J17[:14]
+
+# SMPL-X kinematic joint for each of H36M's 17 movable joints, in the
+# data/h36m.py H36M_MOVABLE order (Hip, RHip, RKnee, RAnkle, LHip, LKnee,
+# LAnkle, Spine, Thorax, Neck, Head, LShldr, LElb, LWri, RShldr, RElb,
+# RWri). Name-based correspondence — the released J_regressor_h36m asset
+# is not shipped, so torso joints (Spine→spine2, Thorax→spine3) are
+# approximate; the joints-supervised loss pelvis-aligns its 3D term so
+# bone-offset mismatch cancels to first order.
+SMPLX_TO_H36M17 = (0, 2, 5, 8, 1, 4, 7, 6, 9, 12, 15, 16, 18, 20, 17, 19, 21)
 J24_TO_J17 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 18, 14, 16, 17]
 J24_TO_J14 = J24_TO_J17[:14]
 

@@ -117,3 +117,66 @@ class TotalCaptureDataset:
                         out["context_extent"][b, v] = (w, h)
                     out["context"][b, v, :h, :w] = crop
         return out
+
+
+def twoview_gt_from_smpl(hb: Dict, smplx_params) -> Dict:
+    """Augment a TotalCapture host batch with the synthetic-contract GT
+    fields (gt_vertices/gt_joints/gt_pose_rotmat/gt_orient/gt_trans/gt_j2d)
+    so train.losses.twoview_loss can consume it — the harness that makes
+    the totalcap loader trainable (the reference shipped it legacy-broken
+    and never wired it into a loss, ref copenet/dsets/totalcap.py:12).
+
+    The SMPL world params become per-view camera-frame GT: SMPL pivots the
+    root rotation about the canonical pelvis (x_w = R·(x_c − j_pelvis) +
+    j_pelvis + t), so the camera-frame translation the loss composes with
+    canonical joints is R_wc·(t + j_pelvis − R_root·j_pelvis) + t_wc.
+    SMPL betas are used as SMPL-X betas — the shape spaces differ, so the
+    per-vertex GT is approximate at the body-shape level (proven exact for
+    the pose/translation composition by
+    tests/test_train.py::test_totalcap_gt_matches_full_forward)."""
+    import jax.numpy as jnp
+
+    from ..bodymodel.smplx import smplx_forward
+    from ..geometry.rotations import batch_rodrigues
+
+    aa = np.asarray(hb["gt_pose_aa"], np.float32)
+    B = aa.shape[0]
+    orient_w = np.asarray(batch_rodrigues(jnp.asarray(aa[:, 0:3])))
+    body = np.asarray(
+        batch_rodrigues(jnp.asarray(aa[:, 3:66].reshape(B * 21, 3)))
+    ).reshape(B, 21, 3, 3)
+
+    out = smplx_forward(
+        smplx_params,
+        jnp.asarray(hb["gt_betas"]),
+        body_pose=jnp.asarray(body),
+        global_orient=jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (B, 1, 3, 3)
+        ),
+    )
+    verts = np.asarray(out.vertices, np.float32)
+    joints = np.asarray(out.joints, np.float32)
+
+    extr = np.asarray(hb["extr"], np.float32)       # (B, 2, 4, 4) world→cam
+    R_wc, t_wc = extr[:, :, :3, :3], extr[:, :, :3, 3]
+    trans_w = np.asarray(hb["gt_trans"], np.float32)   # (B, 3) SMPL transl
+    j_root = joints[:, 0]                              # canonical pelvis
+    off = trans_w + j_root - np.einsum("bij,bj->bi", orient_w, j_root)
+    orient_rel = np.einsum("bvij,bjk->bvik", R_wc, orient_w)
+    trans_rel = np.einsum("bvij,bj->bvi", R_wc, off) + t_wc
+
+    cam_j = (
+        np.einsum("bvij,bkj->bvki", orient_rel, joints[:, :22])
+        + trans_rel[:, :, None]
+    )
+    uv = cam_j / cam_j[..., 2:]
+    j2d = np.einsum("bvij,bvkj->bvki", np.asarray(hb["intr"]), uv)[..., :2]
+
+    hb = dict(hb)
+    hb["gt_vertices"] = verts
+    hb["gt_joints"] = joints
+    hb["gt_pose_rotmat"] = body
+    hb["gt_orient"] = orient_rel.astype(np.float32)
+    hb["gt_trans"] = trans_rel.astype(np.float32)
+    hb["gt_j2d"] = j2d.astype(np.float32)
+    return hb

@@ -30,10 +30,19 @@ def _maybe_qat(params, cfg: TrainConfig):
     return fake_quant_trunk_params(params, cfg.qat_levels)
 
 
+def _trans_gt(batch):
+    """GT translation for the IEF init: ``gt_trans`` where the dataset has
+    SMPL-X parameter GT, else the cam-frame pelvis of the joints GT
+    (H36M-style joints-only batches — joint 0 is the Hip)."""
+    if "gt_trans" in batch:
+        return batch["gt_trans"]
+    return batch["gt_joints"][:, :, 0]
+
+
 def _input_trans(batch, cfg: TrainConfig, key):
     """IEF translation initialization: fixed [0,0,10] or GT+noise, then
     distance-scaled (ref copenet_twoview.py:180-203)."""
-    gt = batch["gt_trans"]
+    gt = _trans_gt(batch)
     if cfg.smpltrans_noise_sigma is None:
         t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 10.0], dtype=gt.dtype), gt.shape)
     else:
@@ -48,14 +57,19 @@ def _eval_input_trans(batch, cfg: TrainConfig):
     203 called from test_step) while its real-data forward pins [0,0,10]
     (copenet_real/copenet_twoview.py:176) — evaluation here is always
     deterministic and never conditions on GT."""
-    gt = batch["gt_trans"]
+    gt = _trans_gt(batch)
     t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 10.0], dtype=gt.dtype), gt.shape)
     return t * cfg.trans_scale
 
 
-def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx):
+def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig,
+                          tx, loss=None):
     """Returns (train_step, eval_step) jitted functions for the flagship
-    AirPoseTwoView (or the _sep variant — same signature)."""
+    AirPoseTwoView (or the _sep variant — same signature). ``loss``
+    defaults to the SMPL-X-parameter-supervised twoview_loss; pass
+    L.joints_loss for joints-only GT datasets (h36m://)."""
+    if loss is None:
+        loss = L.twoview_loss
 
     def forward(params, batch_stats, batch, in_trans, train, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -77,7 +91,7 @@ def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig, tx
         return out, batch_stats
 
     def loss_from_out(out, batch):
-        return L.twoview_loss(
+        return loss(
             out.pose, out.betas, batch, smplx_params, cfg.loss, cfg.trans_scale
         )
 

@@ -97,6 +97,8 @@ def cam_frame_and_project(rotmat_root, trans, joints, intr, focal):
     f = jnp.asarray(focal, dtype=xy.dtype)
     if f.ndim == 2:  # per-view (V, 2) focal lengths (real DJI cameras)
         f = f[None, :, None, :]
+    elif f.ndim == 3:  # per-sample per-view (B, V, 2) — dataset intrinsics
+        f = f[:, :, None, :]
     center = intr[..., :2, 2]
     return cam_j, xy * f + center[:, :, None, :]
 
@@ -177,6 +179,85 @@ def twoview_loss(
         "loss_regr_shape": loss_shape,
         "loss_rootrot": loss_rootrot,
         "loss_regr_pose": loss_pose,
+        "loss_regul_betas": loss_betas,
+    }
+    return total, metrics
+
+
+def joints_loss(
+    pred_pose: jnp.ndarray,   # (B, 2, 135) [trans*scale | 6D×22]
+    pred_betas: jnp.ndarray,  # (B, 2, 10)
+    batch: Dict[str, jnp.ndarray],
+    smplx_params: SMPLXParams,
+    w: LossWeights,
+    trans_scale: float = C.TRANS_SCALE,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Joints-only supervised two-view loss for H36M-style GT (cam-frame 3D
+    joints + projected 2D, no SMPL-X parameters — data/h36m.py).
+
+    The reference shipped h36m loaders but never wired them into a loss
+    (its copies are legacy-broken, ref copenet/dsets/h36m.py:12-15); this
+    is the harness that makes them trainable. Terms reuse the twoview_loss
+    weights where they apply:
+
+      * kp2d — full-frame reprojection vs ``gt_j2d`` with each camera's OWN
+        intrinsics (H36M focal lengths differ per camera; the synthetic
+        loss uses the global focal constant)
+      * kp3d — pelvis-aligned cam-frame joints vs ``gt_joints`` (the
+        name-based SMPLX_TO_H36M17 correspondence is approximate at the
+        torso, so alignment cancels bone-offset bias) + the twoview
+        cross-view canonical-joint consistency term
+      * trans — predicted cam-frame pelvis vs the GT pelvis (the absolute
+        translation H36M's cam-frame joints imply)
+      * beta — shape prior to the SMPL-X mean + cross-view agreement
+        (identical to twoview_loss; there is no shape GT)
+    """
+    from ..data.joints import SMPLX_TO_H36M17
+
+    B = pred_pose.shape[0]
+    trans = pred_pose[..., :3] / trans_scale
+    rotmat = rot6d_to_rotmat(pred_pose[..., 3:].reshape(B, 2, 22, 6))
+
+    _, joints = canonical_smplx_two_view(smplx_params, pred_betas, rotmat)
+    intr = batch["intr"]
+    focal = jnp.stack([intr[..., 0, 0], intr[..., 1, 1]], axis=-1)  # (B,2,2)
+    cam_j, j2d = cam_frame_and_project(
+        rotmat[:, :, 0], trans, joints, intr, focal
+    )
+
+    sel = list(SMPLX_TO_H36M17)
+    pj3 = cam_j[:, :, sel]          # (B, 2, 17, 3) cam frame
+    pj2 = j2d[:, :, sel]            # (B, 2, 17, 2) full-frame pixels
+    gt3 = batch["gt_joints"]
+    gt2 = batch["gt_j2d"]
+
+    loss_kp2d = _sq(pj2, gt2).mean(axis=(0, 2, 3)).sum()
+
+    pa = pj3 - pj3[:, :, :1]        # pelvis-aligned (joint 0 = Hip)
+    ga = gt3 - gt3[:, :, :1]
+    j22 = joints[:, :, :22]
+    loss_kp3d = _sq(pa, ga).mean(axis=(0, 2, 3)).sum() + \
+        _sq(j22[:, 0], j22[:, 1]).mean()
+
+    loss_trans = _sq(cam_j[:, :, 0], gt3[:, :, 0]).mean(axis=(0, 2)).sum()
+
+    loss_betas = (
+        (pred_betas[:, 0] ** 2).mean()
+        + (pred_betas[:, 1] ** 2).mean()
+        + _sq(pred_betas[:, 0], pred_betas[:, 1]).mean()
+    )
+
+    total = w.total_scale * (
+        w.trans * loss_trans
+        + w.keypoint2d * loss_kp2d
+        + w.keypoint3d * loss_kp3d
+        + w.beta * loss_betas
+    )
+    metrics = {
+        "loss": total,
+        "loss_regr_trans": loss_trans,
+        "loss_keypoints": loss_kp2d,
+        "loss_keypoints_3d": loss_kp3d,
         "loss_regul_betas": loss_betas,
     }
     return total, metrics

@@ -13,6 +13,13 @@ Datapath forms:
   /path/to/aerialpeople   the reference pkl dataset layout
   real:///path/to/copenet_data   the real DJI layout (fine-tune; uses the
                        self-supervised VPoser loss)
+  h36m:///path/to/h36m   the prebuilt Human3.6M db layout (joints-only
+                       supervised loss — losses.joints_loss; twoview
+                       families only)
+  totalcap:///path/to/totalcap   the prebuilt TotalCapture db layout
+                       (SMPL parameter GT → the full supervised losses
+                       via data.totalcap.twoview_gt_from_smpl; 80/20
+                       train/val split)
 
 Differences from the reference by design: orbax best/last checkpoints with
 auto-resume (instead of Lightning), deadline-based preemption with exit
@@ -272,6 +279,8 @@ def main(argv=None):
 
     # ---- data ----
     real_finetune = args.datapath.startswith("real://")
+    joints_gt = args.datapath.startswith("h36m://")
+    totalcap = args.datapath.startswith("totalcap://")
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(
@@ -347,6 +356,98 @@ def main(argv=None):
             for s in range(0, min(len(test_ds), 4 * bs) - bs + 1, bs):
                 key, sub = jax.random.split(key)
                 yield _finish_real(test_ds, list(range(s, s + bs)), rng_np, sub)
+    elif joints_gt:
+        # Human3.6M prebuilt-db layout: joints-only supervised training
+        # (losses.joints_loss). The reference shipped these loaders but
+        # never wired them into a loss (its copies are legacy-broken,
+        # ref copenet/dsets/h36m.py:12-15) — this is the harness that
+        # makes them trainable.
+        from ..data.h36m import H36MDataset
+        from ..data.pipeline import finish_batch
+
+        path = args.datapath[len("h36m://"):]
+        train_ds = H36MDataset(path, "train", context_size=args.context_size)
+        test_ds = H36MDataset(path, "test", context_size=args.context_size)
+        print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
+
+        def _finish_h36m(ds, idx, rng_np, deterministic, key):
+            hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
+            return finish_batch(hb, key, deterministic=deterministic)
+
+        def train_batches():
+            from ..data.pipeline import Prefetcher
+
+            worker_state = {}
+
+            def make_batch(wid):
+                if wid not in worker_state:
+                    worker_state[wid] = [
+                        np.random.default_rng(cfg.seed + wid),
+                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
+                    ]
+                st = worker_state[wid]
+                idx = st[0].integers(0, len(train_ds), size=cfg.batch_size)
+                st[1], sub = jax.random.split(st[1])
+                return _finish_h36m(train_ds, idx, st[0], False, sub)
+
+            return Prefetcher.from_factory(
+                make_batch, num_workers=max(1, args.data_workers))
+
+        def val_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            key = jax.random.PRNGKey(cfg.seed + 1)
+            n = len(test_ds)
+            bs = min(cfg.val_batch_size, n)
+            for s in range(0, n - bs + 1, bs):
+                key, sub = jax.random.split(key)
+                yield _finish_h36m(test_ds, list(range(s, s + bs)), rng_np,
+                                   True, sub)
+    elif totalcap:
+        # TotalCapture prebuilt-db layout: SMPL parameter GT converted to
+        # the synthetic twoview contract per batch (twoview_gt_from_smpl),
+        # then the FULL supervised twoview_loss applies. The reference
+        # shipped this loader legacy-broken and never wired it into a loss
+        # (ref copenet/dsets/totalcap.py:12).
+        from ..data.pipeline import finish_batch
+        from ..data.totalcap import TotalCaptureDataset, twoview_gt_from_smpl
+
+        path = args.datapath[len("totalcap://"):]
+        tc_ds = TotalCaptureDataset(path, context_size=args.context_size)
+        n = len(tc_ds)
+        n_train = max(1, int(n * 0.8))
+        print(f"loaded {n_train} train / {n - n_train} test frames")
+
+        def _finish_tc(idx, rng_np, deterministic, key):
+            hb = tc_ds.host_batch(idx, rng_np, swap_cams=not deterministic)
+            hb = twoview_gt_from_smpl(hb, smplx_params)
+            return finish_batch(hb, key, deterministic=deterministic)
+
+        def train_batches():
+            from ..data.pipeline import Prefetcher
+
+            worker_state = {}
+
+            def make_batch(wid):
+                if wid not in worker_state:
+                    worker_state[wid] = [
+                        np.random.default_rng(cfg.seed + wid),
+                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
+                    ]
+                st = worker_state[wid]
+                idx = st[0].integers(0, n_train, size=cfg.batch_size)
+                st[1], sub = jax.random.split(st[1])
+                return _finish_tc(idx, st[0], False, sub)
+
+            return Prefetcher.from_factory(
+                make_batch, num_workers=max(1, args.data_workers))
+
+        def val_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            key = jax.random.PRNGKey(cfg.seed + 1)
+            bs = min(cfg.val_batch_size, max(1, n - n_train))
+            for s in range(n_train, n - bs + 1, bs):
+                key, sub = jax.random.split(key)
+                yield _finish_tc(list(range(s, s + bs)), rng_np, True, sub)
     else:
         # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
         # output): host reader -> device-side finish_batch preprocessing.
@@ -464,7 +565,19 @@ def main(argv=None):
                 "(use copenet_twoview[_sep] or hmr)"
             )
     elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
-        train_step, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx)
+        if joints_gt:
+            from .losses import joints_loss
+
+            train_step, eval_step = make_twoview_step_fns(
+                model, smplx_params, cfg, tx, loss=joints_loss)
+        else:
+            train_step, eval_step = make_twoview_step_fns(
+                model, smplx_params, cfg, tx)
+    elif joints_gt:
+        raise SystemExit(
+            f"--model {cfg.model} has no h36m:// joints-GT path "
+            "(use copenet_twoview[_sep])"
+        )
     else:
         train_step, eval_step = make_singleview_step_fns(
             model, smplx_params, cfg, tx, cfg.model

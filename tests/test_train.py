@@ -96,6 +96,94 @@ def test_other_families_loss_decreases(smplx_small, dataset, family):
     assert np.mean(losses[-4:]) < np.mean(losses[:3]), (family, losses)
 
 
+def test_h36m_joints_loss_decreases(smplx_small, dataset):
+    """The joints-only supervised loss (losses.joints_loss — the harness
+    that makes the h36m:// loaders trainable) descends on a reachable
+    target: H36M-style cam-frame/2D joint GT derived from the synthetic
+    dataset's own SMPL-X GT."""
+    from airpose_tpu.data.joints import SMPLX_TO_H36M17
+    from airpose_tpu.train.losses import joints_loss
+
+    cfg = TrainConfig(lr=1e-4, batch_size=B)
+    base = batch_slice(dataset, 0, B)
+    sel = list(SMPLX_TO_H36M17)
+    canon = np.asarray(base["gt_joints"])[:, sel]   # canonical (B,17,3)
+    orient = np.asarray(base["gt_orient"])          # (B,2,3,3)
+    trans = np.asarray(base["gt_trans"])            # (B,2,3)
+    cam_j = np.einsum("bvij,bkj->bvki", orient, canon) + trans[:, :, None]
+    uv = cam_j / cam_j[..., 2:]
+    j2d = np.einsum("bvij,bvkj->bvki", np.asarray(base["intr"]), uv)[..., :2]
+    batch = {
+        "images": base["images"], "bb": base["bb"], "intr": base["intr"],
+        "gt_joints": jnp.asarray(cam_j.astype(np.float32)),
+        "gt_j2d": jnp.asarray(j2d.astype(np.float32)),
+    }
+
+    model, state, tx = _init("copenet_twoview", base, cfg)
+    train_step, eval_step = make_twoview_step_fns(
+        model, smplx_small, cfg, tx, loss=joints_loss
+    )
+    key = jax.random.PRNGKey(21)
+    losses = []
+    for _ in range(15):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:3]), losses
+    m, preds = eval_step(state, batch)
+    assert preds["pred_rotmat"].shape == (B, 2, 22, 3, 3)
+
+
+def test_totalcap_gt_matches_full_forward(smplx_small):
+    """twoview_gt_from_smpl's pose/translation composition must agree with
+    the REAL SMPL-X forward: composing its gt_orient/gt_trans with the
+    canonical joints (exactly what twoview_loss does) equals running
+    smplx_forward with the world root orient + transl and mapping through
+    the extrinsics — this locks the root-pivot math (SMPL rotates about the
+    canonical pelvis, not the origin)."""
+    from airpose_tpu.bodymodel.smplx import smplx_forward
+    from airpose_tpu.data.totalcap import twoview_gt_from_smpl
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(9)
+    Bn = 3
+    aa = rng.normal(0, 0.3, (Bn, 72)).astype(np.float32)
+    betas = rng.normal(0, 1, (Bn, 10)).astype(np.float32)
+    trans_w = (rng.normal(0, 1, (Bn, 3)) + [0, 0, 3]).astype(np.float32)
+    extr = np.zeros((Bn, 2, 4, 4), np.float32)
+    extr[..., 3, 3] = 1
+    for b in range(Bn):
+        for v in range(2):
+            a = rng.uniform(0, 2 * np.pi)
+            extr[b, v, :3, :3] = [[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                                  [-np.sin(a), 0, np.cos(a)]]
+            extr[b, v, :3, 3] = rng.normal(0, 0.5, 3) + [0, 0, 5]
+    intr = np.broadcast_to(
+        np.asarray([[500.0, 0, 240], [0, 500.0, 135], [0, 0, 1]],
+                   np.float32), (Bn, 2, 3, 3))
+    hb = {"gt_pose_aa": aa, "gt_betas": betas, "gt_trans": trans_w,
+          "extr": extr, "intr": intr}
+    out = twoview_gt_from_smpl(hb, smplx_small)
+
+    orient_w = np.asarray(batch_rodrigues(jnp.asarray(aa[:, :3])))
+    body = np.asarray(batch_rodrigues(
+        jnp.asarray(aa[:, 3:66].reshape(Bn * 21, 3)))).reshape(Bn, 21, 3, 3)
+    full = smplx_forward(
+        smplx_small, jnp.asarray(betas), body_pose=jnp.asarray(body),
+        global_orient=jnp.asarray(orient_w)[:, None],
+        transl=jnp.asarray(trans_w),
+    )
+    jw = np.asarray(full.joints)[:, :22]
+    for v in range(2):
+        jc = np.einsum("bij,bkj->bki", extr[:, v, :3, :3], jw) \
+            + extr[:, v, :3, 3][:, None]
+        composed = np.einsum(
+            "bij,bkj->bki", out["gt_orient"][:, v], out["gt_joints"][:, :22]
+        ) + out["gt_trans"][:, v][:, None]
+        np.testing.assert_allclose(composed, jc, atol=2e-5)
+
+
 def test_data_parallel_step_on_mesh(smplx_small, dataset):
     """The same train step on a sharded batch over 8 virtual devices must
     run and produce finite metrics (GSPMD DP path)."""

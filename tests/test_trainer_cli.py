@@ -26,6 +26,55 @@ def test_trainer_cli_synthetic_and_resume(tmp_path):
     main(args[:-3] + ["5", "--val_every", "5", "--img_res", "64"])
 
 
+def test_trainer_cli_h36m_joints(tmp_path):
+    """h36m:// datapath: the joints-only supervised path (the loaders the
+    reference shipped legacy-broken and never wired into a loss) trains
+    end to end through the CLI."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_h36m
+
+    from airpose_tpu.train.trainer import main
+
+    ds = str(tmp_path / "h36m")
+    os.makedirs(ds)
+    _write_fake_h36m(ds, n=3)
+    main([
+        "--name", "hsmoke", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", f"h36m://{ds}", "--log_dir", str(tmp_path / "logs"),
+        "--batch_size", "2", "--val_batch_size", "2",
+        "--max_steps", "2", "--val_every", "2",
+    ])
+    ckpt_dir = os.path.join(str(tmp_path / "logs"), "hsmoke", "version_0",
+                            "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
+
+
+def test_trainer_cli_totalcap(tmp_path):
+    """totalcap:// datapath: SMPL-parameter GT runs through the FULL
+    supervised twoview loss via twoview_gt_from_smpl."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_totalcap
+
+    from airpose_tpu.train.trainer import main
+
+    ds = str(tmp_path / "totalcap")
+    os.makedirs(ds)
+    _write_fake_totalcap(ds, n=5)
+    main([
+        "--name", "tsmoke", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", f"totalcap://{ds}", "--log_dir", str(tmp_path / "logs"),
+        "--batch_size", "2", "--val_batch_size", "1",
+        "--max_steps", "2", "--val_every", "2",
+    ])
+    ckpt_dir = os.path.join(str(tmp_path / "logs"), "tsmoke", "version_0",
+                            "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
+
+
 def test_trainer_cli_real_finetune(tmp_path):
     import sys
 
