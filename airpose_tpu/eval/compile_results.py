@@ -19,6 +19,10 @@ Data paths (mirroring the reference script family):
   real:///path           DJI real layout — copenet_real_res_compile.py,
                          incl. the robust-frame cross-view consistency
                          metric (`err_idcs`, ref :139-143)
+  h36m:///path           Human3.6M prebuilt db — joints-GT metrics
+                         (root-aligned MPJPE / PA-MPJPE / pelvis MPE;
+                         --split picks the camera pair, train=1/2
+                         test=3/4)
 
 Usage:
   python -m airpose_tpu.eval.compile_results --model copenet_twoview \
@@ -135,6 +139,23 @@ def aerialpeople_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[D
         hb["gt_vertices"] = gt["vertices"]
         hb["gt_joints"] = gt["joints"]
         hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
+        b = finish_batch(hb, key, deterministic=True, out_size=out_size)
+        b["_valid"] = k
+        yield b
+
+
+def h36m_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
+    """Deterministic Human3.6M eval batches (no camera swap, no crop
+    jitter), tail-padded and masked like every other eval generator."""
+    import jax
+
+    from ..data.pipeline import finish_batch
+
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    n = len(ds)
+    for idx, k in _padded_ranges(n, batch_size):
+        hb = ds.host_batch(idx, rng_np, swap_cams=False)
         b = finish_batch(hb, key, deterministic=True, out_size=out_size)
         b["_valid"] = k
         yield b
@@ -273,6 +294,62 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
         jnp.asarray(np.concatenate(gt_orient_l)),
         jnp.asarray(np.concatenate(gt_betas_l)),
         jnp.asarray(np.concatenate(gt_trans_l)),
+    )
+    return outputs, {k: float(v) for k, v in metrics.items()}
+
+
+def compile_h36m_twoview(state, model, smplx_params, batches: Iterable[Dict],
+                         cfg, int8=False, int8_calib_n=8, mesh=None):
+    """Eval over h36m:// batches: outputs-pkl rows (pred angles/trans/betas
+    + the 17-joint cam-frame GT) and the H36M metrics — root-aligned MPJPE
+    (protocol 1), PA-MPJPE (protocol 2), pelvis MPE per view — via
+    metrics.h36m_eval_metrics. Composes with --int8 and --mesh like every
+    other compile pass."""
+    import jax.numpy as jnp
+
+    from ..eval.metrics import h36m_eval_metrics
+    from ..geometry.rotations import rotmat_to_aa
+    from ..train.loop import make_twoview_step_fns
+    from ..train.losses import joints_loss
+    from ..train.state import make_optimizer
+
+    if int8:
+        model, batches = _int8_shim(model, state, batches, int8_calib_n)
+    state, batches = _maybe_mesh(state, batches, mesh)
+
+    tx = make_optimizer(cfg.lr)
+    _, eval_step = make_twoview_step_fns(model, smplx_params, cfg, tx,
+                                         loss=joints_loss)
+
+    outputs = []
+    pr_l, pb_l, pt_l, gj_l = [], [], [], []
+    for batch in batches:
+        valid = _pop_valid(batch)
+        _, preds = eval_step(state, batch)
+        pred_rotmat = np.asarray(preds["pred_rotmat"])[:valid]
+        pred_trans = np.asarray(preds["pred_trans"])[:valid]
+        pred_betas = np.asarray(preds["pred_betas"])[:valid]
+        pred_angles = np.asarray(rotmat_to_aa(jnp.asarray(pred_rotmat)))
+        gt_j = np.asarray(batch["gt_joints"])[:valid]
+        outputs.append({"output": {
+            "pred_angles0": pred_angles[:, 0],
+            "pred_angles1": pred_angles[:, 1],
+            "pred_smpltrans0": pred_trans[:, 0],
+            "pred_smpltrans1": pred_trans[:, 1],
+            "pred_betas0": pred_betas[:, 0], "pred_betas1": pred_betas[:, 1],
+            "gt_joints_cam0": gt_j[:, 0], "gt_joints_cam1": gt_j[:, 1],
+        }})
+        pr_l.append(pred_rotmat)
+        pb_l.append(pred_betas)
+        pt_l.append(pred_trans)
+        gj_l.append(gt_j)
+
+    metrics = h36m_eval_metrics(
+        smplx_params,
+        jnp.asarray(np.concatenate(pr_l)),
+        jnp.asarray(np.concatenate(pb_l)),
+        jnp.asarray(np.concatenate(pt_l)),
+        jnp.asarray(np.concatenate(gj_l)),
     )
     return outputs, {k: float(v) for k, v in metrics.items()}
 
@@ -718,6 +795,30 @@ def main(argv=None):
         B = min(args.batch_size, n)
         splits = {"test": synthetic_batches(data, B)}
         split_names = ["test"]
+    elif args.datapath.startswith("h36m://"):
+        # Human3.6M prebuilt-db eval: joints-GT metrics (root-aligned
+        # MPJPE / PA-MPJPE / pelvis MPE). `--split` selects the camera
+        # pair per the reference's h36m_full_train/test convention
+        # (train = cams 1/2, test = 3/4).
+        from ..data import H36MDataset
+
+        if args.model not in ("copenet_twoview", "copenet_twoview_sep"):
+            p.error("h36m:// eval supports the twoview families only")
+        path = args.datapath[len("h36m://"):]
+        for split in args.split:
+            ds = H36MDataset(path, split)
+            if len(ds) == 0:
+                p.error(f"no frames in the h36m db under {path}")
+            B = min(args.batch_size, len(ds))
+            outputs, metrics = compile_h36m_twoview(
+                state, model, smplx_params,
+                h36m_batches(ds, B, out_size=args.img_res), cfg,
+                int8=args.int8, int8_calib_n=args.int8_calib_n, mesh=mesh,
+            )
+            per_split.append(outputs)
+            metrics_by_split[split] = metrics
+        splits = None
+        split_names = args.split
     elif is_real:
         from ..bodymodel.vposer import init_vposer_params, load_vposer_ckpt
 

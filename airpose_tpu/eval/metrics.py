@@ -116,3 +116,44 @@ def twoview_eval_metrics(
         "mpe0": mpe(pred_trans[:, 0], gt_trans[:, 0]),
         "mpe1": mpe(pred_trans[:, 1], gt_trans[:, 1]),
     }
+
+
+def h36m_eval_metrics(
+    smplx_params: SMPLXParams,
+    pred_rotmat: jnp.ndarray,  # (N, 2, 22, 3, 3)
+    pred_betas: jnp.ndarray,   # (N, 2, 10)
+    pred_trans: jnp.ndarray,   # (N, 2, 3)
+    gt_joints: jnp.ndarray,    # (N, 2, 17, 3) cam-frame H36M movable GT
+) -> Dict[str, jnp.ndarray]:
+    """Joints-GT eval for h36m:// datasets: root-aligned MPJPE (the H36M
+    protocol-1 metric), PA-MPJPE (protocol 2), and MPE on the camera-frame
+    pelvis, per view, over the 17 movable joints via the name-based
+    SMPLX_TO_H36M17 correspondence (data/joints.py). Unlike the synthetic
+    metrics there is no parameter GT — predictions are composed into the
+    camera frame (R_root·j_canon + t, the same composition the losses
+    train under) and compared to the dataset's joint GT directly."""
+    from ..data.joints import SMPLX_TO_H36M17
+
+    N = pred_rotmat.shape[0]
+    out = smplx_forward(
+        smplx_params,
+        pred_betas.reshape(N * 2, -1),
+        body_pose=pred_rotmat[:, :, 1:].reshape(N * 2, 21, 3, 3),
+        global_orient=jnp.broadcast_to(
+            jnp.eye(3, dtype=pred_betas.dtype), (N * 2, 1, 3, 3)
+        ),
+    )
+    canon = out.joints.reshape(N, 2, -1, 3)[:, :, list(SMPLX_TO_H36M17)]
+    cam_j = (
+        jnp.einsum("nvij,nvkj->nvki", pred_rotmat[:, :, 0], canon,
+                   precision="highest")
+        + pred_trans[:, :, None]
+    )
+    res = {}
+    for v in (0, 1):
+        p, g = cam_j[:, v], gt_joints[:, v]
+        pa, ga = p - p[:, :1], g - g[:, :1]  # root (Hip) alignment
+        res[f"mpjpe{v}"] = jnp.sqrt(((pa - ga) ** 2).sum(-1)).mean()
+        res[f"pa_mpjpe{v}"] = pa_mpjpe(p, g)
+        res[f"mpe{v}"] = mpe(p[:, 0], g[:, 0])
+    return res

@@ -134,6 +134,35 @@ def test_compile_results_real(tmp_path, capsys):
     assert np.isfinite(out["pred_pose0"]).all()
 
 
+def test_compile_results_h36m(tmp_path, capsys):
+    """h36m:// eval: joints-GT metrics (root-aligned MPJPE, PA-MPJPE,
+    pelvis MPE per view) over the prebuilt-db layout, with an n % B != 0
+    frame count so the tail pad/mask path is exercised too."""
+    from airpose_tpu.eval.compile_results import main
+    from test_data import _write_fake_h36m
+
+    ds = tmp_path / "h36m"
+    os.makedirs(ds)
+    _write_fake_h36m(str(ds), n=3)
+
+    out_pkl = str(tmp_path / "h36m_results.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"h36m://{ds}",
+        "--split", "test", "--out", out_pkl, "--batch_size", "2",
+        "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    printed = capsys.readouterr().out
+    for key in ("test_mpjpe0", "test_pa_mpjpe1", "test_mpe0"):
+        assert key in printed, printed
+
+    res = pickle.load(open(out_pkl, "rb"))
+    rows = sum(o["output"]["pred_angles0"].shape[0] for o in res[0])
+    assert rows == 3  # all frames, tail batch masked not dropped
+    out = res[0][0]["output"]
+    assert out["gt_joints_cam0"].shape == (2, 17, 3)
+    assert np.isfinite(out["pred_smpltrans1"]).all()
+
+
 def test_compile_results_real_hmr_per_camera(tmp_path, capsys):
     """Baseline-on-real compile: one outputs pkl per camera with suffixes
     '0'/'1' (ref hmr_real_res_compile.py; the AirPose+ driver's baseline
