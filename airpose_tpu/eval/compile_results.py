@@ -23,6 +23,9 @@ Data paths (mirroring the reference script family):
                          (root-aligned MPJPE / PA-MPJPE / pelvis MPE;
                          --split picks the camera pair, train=1/2
                          test=3/4)
+  totalcap:///path       TotalCapture prebuilt db — SMPL GT converted to
+                         the synthetic contract per batch; standard
+                         supervised metrics; splits = the trainer's 80/20
 
 Usage:
   python -m airpose_tpu.eval.compile_results --model copenet_twoview \
@@ -156,6 +159,30 @@ def h36m_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
     n = len(ds)
     for idx, k in _padded_ranges(n, batch_size):
         hb = ds.host_batch(idx, rng_np, swap_cams=False)
+        b = finish_batch(hb, key, deterministic=True, out_size=out_size)
+        b["_valid"] = k
+        yield b
+
+
+def totalcap_batches(ds, smplx_params, batch_size: int, out_size: int = 224,
+                     indices=None) -> Iterable[Dict]:
+    """Deterministic TotalCapture eval batches: the SMPL parameter GT is
+    converted to the synthetic twoview contract per batch
+    (data.totalcap.twoview_gt_from_smpl), so compile_twoview's metrics and
+    outputs-pkl format apply unchanged. ``indices`` restricts to a frame
+    subset (e.g. the trainer's held-out 20%)."""
+    import jax
+
+    from ..data.pipeline import finish_batch
+    from ..data.totalcap import twoview_gt_from_smpl
+
+    rng_np = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    idx_all = list(indices) if indices is not None else list(range(len(ds)))
+    for idx, k in _padded_ranges(len(idx_all), batch_size):
+        hb = ds.host_batch([idx_all[i] for i in idx], rng_np,
+                           swap_cams=False)
+        hb = twoview_gt_from_smpl(hb, smplx_params)
         b = finish_batch(hb, key, deterministic=True, out_size=out_size)
         b["_valid"] = k
         yield b
@@ -818,6 +845,29 @@ def main(argv=None):
             per_split.append(outputs)
             metrics_by_split[split] = metrics
         splits = None
+        split_names = args.split
+    elif args.datapath.startswith("totalcap://"):
+        # TotalCapture prebuilt-db eval: SMPL GT converted per batch to
+        # the synthetic contract, then the standard supervised compile
+        # passes/metrics apply. Splits mirror the trainer's 80/20.
+        from ..data import TotalCaptureDataset
+
+        path = args.datapath[len("totalcap://"):]
+        ds = TotalCaptureDataset(path)
+        if len(ds) == 0:
+            p.error(f"no frames in the totalcap db under {path}")
+        n_train = max(1, int(len(ds) * 0.8))
+        ranges = {"train": range(0, n_train),
+                  "test": range(n_train, len(ds))}
+        splits = {}
+        for split in args.split:
+            idx = ranges[split]
+            if len(idx) == 0:
+                p.error(f"totalcap split '{split}' is empty "
+                        f"({len(ds)} frames, 80/20)")
+            B = min(args.batch_size, len(idx))
+            splits[split] = totalcap_batches(
+                ds, smplx_params, B, out_size=args.img_res, indices=idx)
         split_names = args.split
     elif is_real:
         from ..bodymodel.vposer import init_vposer_params, load_vposer_ckpt

@@ -163,6 +163,31 @@ def test_compile_results_h36m(tmp_path, capsys):
     assert np.isfinite(out["pred_smpltrans1"]).all()
 
 
+def test_compile_results_totalcap(tmp_path, capsys):
+    """totalcap:// eval: the SMPL-GT conversion feeds the standard
+    supervised twoview metrics (MPJPE/PA-MPJPE/MPE) and outputs pkl."""
+    from airpose_tpu.eval.compile_results import main
+    from test_data import _write_fake_totalcap
+
+    ds = tmp_path / "totalcap"
+    os.makedirs(ds)
+    _write_fake_totalcap(str(ds), n=5)
+
+    out_pkl = str(tmp_path / "tc_results.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"totalcap://{ds}",
+        "--split", "test", "--out", out_pkl, "--batch_size", "2",
+        "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    printed = capsys.readouterr().out
+    for key in ("test_mpjpe0", "test_pa_mpjpe1", "test_mpe0"):
+        assert key in printed, printed
+    res = pickle.load(open(out_pkl, "rb"))
+    rows = sum(o["output"]["pred_angles0"].shape[0] for o in res[0])
+    assert rows == 1  # n=5 → 80/20 → 1 held-out frame
+    assert np.isfinite(res[0][0]["output"]["gt_angles0"]).all()
+
+
 def test_compile_results_real_hmr_per_camera(tmp_path, capsys):
     """Baseline-on-real compile: one outputs pkl per camera with suffixes
     '0'/'1' (ref hmr_real_res_compile.py; the AirPose+ driver's baseline
