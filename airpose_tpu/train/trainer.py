@@ -20,6 +20,11 @@ Datapath forms:
                        (SMPL parameter GT → the full supervised losses
                        via data.totalcap.twoview_gt_from_smpl; 80/20
                        train/val split)
+  mixed://kind=path,kind=path   heterogeneous 50/50 mixed training over
+                       two sources (aerialpeople/h36m/totalcap) — each
+                       batch from one source, its loss dispatched per
+                       batch (the behavior the reference's MixedDataset
+                       declared but never had)
 
 Differences from the reference by design: orbax best/last checkpoints with
 auto-resume (instead of Lightning), deadline-based preemption with exit
@@ -281,6 +286,7 @@ def main(argv=None):
     real_finetune = args.datapath.startswith("real://")
     joints_gt = args.datapath.startswith("h36m://")
     totalcap = args.datapath.startswith("totalcap://")
+    mixed = args.datapath.startswith("mixed://")
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(
@@ -448,6 +454,132 @@ def main(argv=None):
             for s in range(n_train, n - bs + 1, bs):
                 key, sub = jax.random.split(key)
                 yield _finish_tc(list(range(s, s + bs)), rng_np, True, sub)
+    elif mixed:
+        # Heterogeneous mixed training — what the reference's MixedDataset
+        # DECLARED (50% h36m / 50% aerialpeople per batch,
+        # ref dsets/mixed_dataset.py:19-29) but never did (legacy-broken
+        # imports AND `np.random.rand(1) < 2` always returns dataset[0]).
+        # Syntax: mixed://kind=path,kind=path with kind in
+        # {aerialpeople, h36m, totalcap}. Each batch comes wholly from one
+        # source; the loop dispatches that source's supervised loss
+        # (SMPL-GT → twoview_loss, joints-GT → joints_loss) — two cached
+        # jit programs updating ONE TrainState.
+        from ..data.pipeline import finish_batch
+
+        spec = args.datapath[len("mixed://"):]
+        pairs = [kv.split("=", 1) for kv in spec.split(",")]
+        if len(pairs) != 2 or any(len(kv) != 2 for kv in pairs):
+            raise SystemExit("mixed:// expects exactly two kind=path sources, "
+                         "e.g. mixed://h36m=/d/h36m,aerialpeople=/d/aerial")
+
+        def _build_source(kind, path):
+            """→ (fin_train(idx,rng,key), n_train, fin_val(idx,rng,key),
+            n_val, loss_kind)."""
+            if kind == "h36m":
+                from ..data.h36m import H36MDataset
+
+                tr = H36MDataset(path, "train",
+                                 context_size=args.context_size)
+                te = H36MDataset(path, "test",
+                                 context_size=args.context_size)
+
+                def fin_train(idx, rng_np, key):
+                    hb = tr.host_batch(idx, rng_np, swap_cams=True)
+                    return finish_batch(hb, key)
+
+                def fin_val(idx, rng_np, key):
+                    hb = te.host_batch(idx, rng_np, swap_cams=False)
+                    return finish_batch(hb, key, deterministic=True)
+
+                return fin_train, len(tr), fin_val, len(te), "joints"
+            if kind == "totalcap":
+                from ..data.totalcap import (TotalCaptureDataset,
+                                             twoview_gt_from_smpl)
+
+                ds = TotalCaptureDataset(path,
+                                         context_size=args.context_size)
+                n_tr = max(1, int(len(ds) * 0.8))
+
+                def _fin(idx, rng_np, det, key):
+                    hb = ds.host_batch(idx, rng_np, swap_cams=not det)
+                    hb = twoview_gt_from_smpl(hb, smplx_params)
+                    return finish_batch(hb, key, deterministic=det)
+
+                def fin_train(idx, rng_np, key):
+                    return _fin(idx, rng_np, False, key)
+
+                def fin_val(idx, rng_np, key):
+                    return _fin([n_tr + i for i in idx], rng_np, True, key)
+
+                return fin_train, n_tr, fin_val, len(ds) - n_tr, "smpl"
+            if kind == "aerialpeople":
+                from ..data import AerialPeopleDataset
+
+                tr = AerialPeopleDataset(path, "train",
+                                         context_size=args.context_size)
+                te = AerialPeopleDataset(path, "test",
+                                         context_size=args.context_size)
+                tr.precompute_canonical_gt(smplx_params, genders_to_params)
+                te.precompute_canonical_gt(smplx_params, genders_to_params)
+
+                def _fin(ds, idx, rng_np, det, key):
+                    hb = ds.host_batch(idx, rng_np, swap_cams=not det)
+                    gt = ds.canonical_gt(idx)
+                    hb["gt_vertices"] = gt["vertices"]
+                    hb["gt_joints"] = gt["joints"]
+                    hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
+                    return finish_batch(hb, key, deterministic=det)
+
+                def fin_train(idx, rng_np, key):
+                    return _fin(tr, idx, rng_np, False, key)
+
+                def fin_val(idx, rng_np, key):
+                    return _fin(te, idx, rng_np, True, key)
+
+                return fin_train, len(tr), fin_val, len(te), "smpl"
+            raise SystemExit(f"unknown mixed:// source kind '{kind}' "
+                         "(aerialpeople, h36m, totalcap)")
+
+        sources = [_build_source(k, pth) for k, pth in pairs]
+        mixed_loss_kinds = [s[4] for s in sources]
+        print("mixed sources: " + ", ".join(
+            f"{k}({s[1]} train/{s[3]} val, {s[4]} loss)"
+            for (k, _), s in zip(pairs, sources)))
+
+        def train_batches():
+            from ..data.pipeline import Prefetcher
+
+            worker_state = {}
+
+            def make_batch(wid):
+                if wid not in worker_state:
+                    worker_state[wid] = [
+                        np.random.default_rng(cfg.seed + wid),
+                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
+                    ]
+                st = worker_state[wid]
+                s = int(st[0].random() < 0.5)  # the declared 50/50 draw
+                fin_train, n_tr = sources[s][0], sources[s][1]
+                idx = st[0].integers(0, n_tr, size=cfg.batch_size)
+                st[1], sub = jax.random.split(st[1])
+                b = fin_train(idx, st[0], sub)
+                b["mixed_source"] = np.full(cfg.batch_size, s, np.int32)
+                return b
+
+            return Prefetcher.from_factory(
+                make_batch, num_workers=max(1, args.data_workers))
+
+        def val_batches():
+            rng_np = np.random.default_rng(cfg.seed)
+            key = jax.random.PRNGKey(cfg.seed + 1)
+            for s, src in enumerate(sources):
+                _, _, fin_val, n_val, _ = src
+                bs = min(cfg.val_batch_size, n_val)
+                for st in range(0, n_val - bs + 1, bs):
+                    key, sub = jax.random.split(key)
+                    b = fin_val(list(range(st, st + bs)), rng_np, sub)
+                    b["mixed_source"] = np.full(bs, s, np.int32)
+                    yield b
     else:
         # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
         # output): host reader -> device-side finish_batch preprocessing.
@@ -565,7 +697,28 @@ def main(argv=None):
                 "(use copenet_twoview[_sep] or hmr)"
             )
     elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
-        if joints_gt:
+        if mixed:
+            # one step-fn pair per loss kind, dispatched host-side on the
+            # batch's source tag — two cached jit programs over ONE state
+            from .losses import joints_loss
+
+            by_kind = {
+                "smpl": make_twoview_step_fns(model, smplx_params, cfg, tx),
+                "joints": make_twoview_step_fns(
+                    model, smplx_params, cfg, tx, loss=joints_loss),
+            }
+
+            def _src(batch):
+                return int(np.asarray(batch.pop("mixed_source"))[0])
+
+            def train_step(state, batch, key):
+                kind = mixed_loss_kinds[_src(batch)]
+                return by_kind[kind][0](state, batch, key)
+
+            def eval_step(state, batch):
+                kind = mixed_loss_kinds[_src(batch)]
+                return by_kind[kind][1](state, batch)
+        elif joints_gt:
             from .losses import joints_loss
 
             train_step, eval_step = make_twoview_step_fns(
@@ -573,10 +726,10 @@ def main(argv=None):
         else:
             train_step, eval_step = make_twoview_step_fns(
                 model, smplx_params, cfg, tx)
-    elif joints_gt:
+    elif joints_gt or mixed:
         raise SystemExit(
-            f"--model {cfg.model} has no h36m:// joints-GT path "
-            "(use copenet_twoview[_sep])"
+            f"--model {cfg.model} has no h36m://-style joints-GT or "
+            "mixed:// path (use copenet_twoview[_sep])"
         )
     else:
         train_step, eval_step = make_singleview_step_fns(
@@ -681,8 +834,12 @@ def main(argv=None):
                     except Exception as e:  # rendering is best-effort
                         print(f"summary render skipped: {e}", flush=True)
                     summary_done = True
+            # mixed:// val batches carry per-source metric sets — average
+            # each key over the entries that have it
+            keys = sorted(set().union(*vals))
             mean_val = {
-                k: float(np.mean([v[k] for v in vals])) for k in vals[0]
+                k: float(np.mean([v[k] for v in vals if k in v]))
+                for k in keys
             }
             for k, v in mean_val.items():
                 writer.add_scalar(f"{k}/val", v, step)

@@ -75,6 +75,38 @@ def test_trainer_cli_totalcap(tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
 
 
+def test_trainer_cli_mixed_h36m_totalcap(tmp_path):
+    """mixed:// datapath: heterogeneous 50/50 training — joints-GT (h36m)
+    and SMPL-GT (totalcap) batches interleave, each dispatched to its own
+    supervised loss over ONE TrainState (the behavior the reference's
+    MixedDataset declared but never had — mixed_dataset.py:29 always
+    returns dataset[0]). The val epoch always covers BOTH sources, so both
+    loss programs execute regardless of the train draw sequence."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_h36m, _write_fake_totalcap
+
+    from airpose_tpu.train.trainer import main
+
+    h = str(tmp_path / "h36m")
+    t = str(tmp_path / "tc")
+    os.makedirs(h)
+    os.makedirs(t)
+    _write_fake_h36m(h, n=3)
+    _write_fake_totalcap(t, n=5)
+    main([
+        "--name", "msmoke", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", f"mixed://h36m={h},totalcap={t}",
+        "--log_dir", str(tmp_path / "logs"),
+        "--batch_size", "2", "--val_batch_size", "1",
+        "--max_steps", "4", "--val_every", "4", "--data_workers", "1",
+    ])
+    ckpt_dir = os.path.join(str(tmp_path / "logs"), "msmoke", "version_0",
+                            "checkpoints")
+    assert os.path.exists(os.path.join(ckpt_dir, "last"))
+
+
 def test_trainer_cli_real_finetune(tmp_path):
     import sys
 
