@@ -20,6 +20,10 @@ Stages (each through the real CLI entry point, not library shortcuts):
   6. eval/compile_results (real://) → outputs pkl + cross-view metric
   7. optim/bundle_adjust            → AirPose+ refinement + trajectory png
   8. serve/benchtest                → served-vs-offline diffs + served FPS
+     (8b: the same replay through the native C++ clients' ROI path)
+  9. mixed:// train + h36m:// eval  → the h36m/totalcap/mixed families
+                                      (generated prebuilt dbs,
+                                      tools/synth_mocap_dbs)
 
 Prints a metrics table and writes ``rehearsal_summary.json``. This is the
 parity dress rehearsal while released assets are absent (BASELINE.md north
@@ -212,6 +216,36 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         print("[8b/8] native C++ client replay done", flush=True)
     else:
         print("[8b/8] native client not buildable here — skipped", flush=True)
+
+    # ---- 9. cross-dataset families: mixed:// train + h36m:// eval ----
+    # Generated h36m/totalcap prebuilt dbs (tools/synth_mocap_dbs) feed
+    # the heterogeneous mixed:// trainer (joints-GT + SMPL-GT losses
+    # dispatched per batch) and the H36M-protocol eval — the data families
+    # the reference shipped legacy-broken, exercised end to end.
+    from .synth_mocap_dbs import write_h36m, write_totalcap
+
+    h36m = write_h36m(osp.join(workdir, "h36m"), n=3)
+    tc = write_totalcap(osp.join(workdir, "totalcap"), n=5)
+    mix_logs = osp.join(workdir, "logs_mixed")
+    train_main([
+        "--name", "mixed", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", f"mixed://h36m={h36m},totalcap={tc}",
+        "--log_dir", mix_logs, "--batch_size", "2", "--val_batch_size", "1",
+        "--max_steps", "2", "--val_every", "2", "--img_res", str(img_res),
+        "--data_workers", "1",
+    ])
+    mixed_ckpt = osp.join(mix_logs, "mixed", "version_0", "checkpoints",
+                          "last")
+    h36m_pkl = osp.join(workdir, "h36m_results.pkl")
+    compile_main([
+        "--model", "copenet_twoview", "--ckpt", mixed_ckpt,
+        "--datapath", f"h36m://{h36m}", "--split", "test",
+        "--out", h36m_pkl, "--batch_size", "2", "--img_res", str(img_res),
+        "--synthetic_verts", str(verts),
+    ])
+    summary["h36m"] = _read_json(h36m_pkl + ".metrics.json")["test"]
+    assert all(np.isfinite(v) for v in summary["h36m"].values())
+    print("[9/9] mixed:// train + h36m:// protocol eval done", flush=True)
 
     # ---- table + summary ----
     print("\n=== dress rehearsal metrics ===")

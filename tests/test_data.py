@@ -489,44 +489,15 @@ def test_prefetcher_siblings_exit_after_error_and_close():
 
 
 def _write_fake_h36m(root, n=3):
-    """Tiny prebuilt-database layout the reference h36m loaders read
-    (dsets/h36m_db.pkl + dsets/h36m_cameras.h5 + frame jpgs)."""
-    import h5py
+    """Tiny prebuilt-database layout the reference h36m loaders read —
+    delegated to the product generator (tools/synth_mocap_dbs.write_h36m)
+    so the convention-lock tests below exercise the tool's output
+    directly. Cameras are non-trivial (off-axis, T = camera center in
+    world mm, x_cam = Rᵀ(x − T)): an identity-convention loader projects
+    garbage here."""
+    from airpose_tpu.tools.synth_mocap_dbs import write_h36m
 
-    rng = np.random.default_rng(2)
-    os.makedirs(os.path.join(root, "dsets"), exist_ok=True)
-    os.makedirs(os.path.join(root, "frames"), exist_ok=True)
-    db = []
-    for i in range(n):
-        rec = {"s": "1", "gt": (rng.normal(0, 300, (32, 3))
-                                + np.asarray([0, 0, 4000.0])).ravel()}
-        for cam in (1, 2, 3, 4):
-            p = os.path.join("frames", f"{i:03d}_c{cam}.jpg")
-            img = (rng.random((1002, 1002, 3)) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(root, p), img)
-            rec[f"c{cam}"] = p
-        db.append(rec)
-    with open(os.path.join(root, "dsets", "h36m_db.pkl"), "wb") as f:
-        pickle.dump(db, f)
-    with h5py.File(os.path.join(root, "dsets", "h36m_cameras.h5"), "w") as h5:
-        g = h5.create_group("subject1")
-        subject = np.asarray([0.0, 0.0, 4000.0])  # mm, fixture GT center
-        for cam in (1, 2, 3, 4):
-            # NON-trivial (R, T) in the h36m convention (T = camera center
-            # in world mm, x_cam = Rᵀ(x − T)): camera placed off-axis,
-            # looking at the subject — R's third COLUMN is the view dir,
-            # so an identity-convention loader projects garbage here
-            c = g.create_group(f"camera{cam}")
-            T = np.asarray([400.0 * cam, -300.0, 500.0])
-            z = subject - T
-            z = z / np.linalg.norm(z)
-            x = np.cross([0.0, 1.0, 0.0], z)
-            x = x / np.linalg.norm(x)
-            y = np.cross(z, x)
-            c["R"] = np.stack([x, y, z], axis=1)
-            c["T"] = T.reshape(3, 1)
-            c["f"] = np.full((2, 1), 1100.0)
-            c["c"] = np.asarray([[500.0], [500.0]])
+    write_h36m(root, n=n)
 
 
 def test_h36m_reader_canonical_batch(tmp_path, rng):
@@ -569,42 +540,14 @@ def test_h36m_reader_canonical_batch(tmp_path, rng):
 
 
 def _write_fake_totalcap(root, n=2):
-    rng = np.random.default_rng(4)
-    os.makedirs(os.path.join(root, "dsets"), exist_ok=True)
-    os.makedirs(os.path.join(root, "frames"), exist_ok=True)
-    db = []
-    for i in range(n):
-        rec = {"poses": rng.normal(0, 0.3, 72).astype(np.float32),
-               "betas": rng.normal(0, 1, 10).astype(np.float32),
-               "trans": np.asarray([0.1, 0.2, 3.0], np.float32)}
-        for cam in range(1, 9):
-            p = os.path.join("frames", f"{i:03d}_cam{cam}.jpg")
-            img = (rng.random((270, 480, 3)) * 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(root, p), img)
-            rec[f"im{cam}"] = p
-        db.append(rec)
-    with open(os.path.join(root, "dsets", "totalcap_db.pkl"), "wb") as f:
-        pickle.dump({"db": db}, f)
-    # NON-trivial camera poses (extr = cam→world rotation, trans = camera
-    # center — the convention npPerspProj documents, ref utils/utils.py:
-    # 96-107): cameras on a ring looking at the subject, so an
-    # identity-convention loader stores inverted extrinsics here
-    subject = np.asarray([0.1, 0.2, 3.0])
-    cams = {}
-    for c in range(1, 9):
-        a = 2 * np.pi * c / 8
-        T = subject + 4.0 * np.asarray([np.sin(a), 0.1, np.cos(a)])
-        z = subject - T
-        z = z / np.linalg.norm(z)
-        x = np.cross([0.0, 1.0, 0.0], z)
-        x = x / np.linalg.norm(x)
-        y = np.cross(z, x)
-        cams[f"cam{c}"] = {"extr": np.stack([x, y, z], axis=1),
-                           "trans": T.reshape(3, 1),
-                           "intr": np.asarray([[500.0, 0, 240],
-                                               [0, 500.0, 135], [0, 0, 1]])}
-    with open(os.path.join(root, "cameras.pkl"), "wb") as f:
-        pickle.dump(cams, f)
+    """Delegated to the product generator (tools/synth_mocap_dbs.
+    write_totalcap): 8 non-trivial ring cameras storing the camera POSE
+    (extr = cam→world rotation, trans = camera center — the convention
+    npPerspProj documents, ref utils/utils.py:96-107), so an
+    identity-convention loader stores inverted extrinsics here."""
+    from airpose_tpu.tools.synth_mocap_dbs import write_totalcap
+
+    write_totalcap(root, n=n)
 
 
 def test_totalcap_reader_and_mixed(tmp_path, rng):

@@ -22,8 +22,12 @@ def test_dress_rehearsal_end_to_end(tmp_path):
     for key in ("train_best_val", "converter_roundtrip_max_err",
                 "synth_bf16", "synth_int8", "real", "ba_stage1_first",
                 "ba_stage1_final", "ba_loss_final",
-                "benchtest_absdiff_pose_m1", "benchtest_served_fps"):
+                "benchtest_absdiff_pose_m1", "benchtest_served_fps",
+                "h36m"):
         assert key in summary, key
+    # stage 9: mixed:// train + H36M-protocol eval over generated dbs
+    assert np.isfinite(summary["h36m"]["mpjpe0"])
+    assert np.isfinite(summary["h36m"]["pa_mpjpe1"])
 
     assert summary["converter_roundtrip_max_err"] < 1e-6
     assert np.isfinite(summary["synth_bf16"]["mpjpe0"])
