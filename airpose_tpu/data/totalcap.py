@@ -37,6 +37,32 @@ class TotalCaptureDataset:
     def __len__(self) -> int:
         return len(self.db)
 
+    _canon_cache = None
+
+    def precompute_canonical_gt(self, smplx_params, chunk: int = 256):
+        """One-time canonical SMPL-X forward over the whole db (the
+        aerialpeople precompute pattern — the reference recomputed GT per
+        sample inside DataLoader workers): twoview_gt_from_smpl then only
+        composes the cheap per-view camera transform per batch."""
+        n = len(self.db)
+        aa = np.stack([np.asarray(r["poses"], np.float32).ravel()
+                       for r in self.db])
+        betas = np.stack([np.asarray(r["betas"], np.float32).ravel()[:10]
+                          for r in self.db])
+        ow, bd, vs, js = [], [], [], []
+        for s in range(0, n, chunk):
+            o, b, v, j = _canonical_from_params(
+                aa[s:s + chunk], betas[s:s + chunk], smplx_params)
+            ow.append(o)
+            bd.append(b)
+            vs.append(v)
+            js.append(j)
+        self._canon_cache = {
+            "orient_w": np.concatenate(ow), "body": np.concatenate(bd),
+            "vertices": np.concatenate(vs), "joints": np.concatenate(js),
+        }
+        return self._canon_cache
+
     def host_batch(self, indices: Sequence[int], rng: np.random.Generator,
                    decode_images: bool = True, swap_cams: bool = False) -> Dict:
         import cv2
@@ -119,7 +145,8 @@ class TotalCaptureDataset:
         return out
 
 
-def twoview_gt_from_smpl(hb: Dict, smplx_params) -> Dict:
+def twoview_gt_from_smpl(hb: Dict, smplx_params, ds=None,
+                         indices=None) -> Dict:
     """Augment a TotalCapture host batch with the synthetic-contract GT
     fields (gt_vertices/gt_joints/gt_pose_rotmat/gt_orient/gt_trans/gt_j2d)
     so train.losses.twoview_loss can consume it — the harness that makes
@@ -133,29 +160,30 @@ def twoview_gt_from_smpl(hb: Dict, smplx_params) -> Dict:
     SMPL betas are used as SMPL-X betas — the shape spaces differ, so the
     per-vertex GT is approximate at the body-shape level (proven exact for
     the pose/translation composition by
-    tests/test_train.py::test_totalcap_gt_matches_full_forward)."""
-    import jax.numpy as jnp
+    tests/test_train.py::test_totalcap_gt_matches_full_forward).
 
-    from ..bodymodel.smplx import smplx_forward
-    from ..geometry.rotations import batch_rodrigues
+    With ``ds``+``indices`` given and ``ds.precompute_canonical_gt`` run,
+    the canonical forward comes from the per-frame cache (one SMPL-X pass
+    per dataset instead of per batch — the aerialpeople precompute
+    pattern); only the cheap per-view camera composition runs per batch.
+    gt_j2d uses the GLOBAL focal constant + per-sample principal point —
+    exactly the projection twoview_loss applies to predictions
+    (cam_frame_and_project, losses.py) and the aerialpeople GT convention
+    (aerialpeople.py) — so the 2D supervision is consistent with the rest
+    of the loss regardless of the dataset's own intrinsics."""
+    from .. import constants as C
 
-    aa = np.asarray(hb["gt_pose_aa"], np.float32)
-    B = aa.shape[0]
-    orient_w = np.asarray(batch_rodrigues(jnp.asarray(aa[:, 0:3])))
-    body = np.asarray(
-        batch_rodrigues(jnp.asarray(aa[:, 3:66].reshape(B * 21, 3)))
-    ).reshape(B, 21, 3, 3)
-
-    out = smplx_forward(
-        smplx_params,
-        jnp.asarray(hb["gt_betas"]),
-        body_pose=jnp.asarray(body),
-        global_orient=jnp.broadcast_to(
-            jnp.eye(3, dtype=jnp.float32), (B, 1, 3, 3)
-        ),
-    )
-    verts = np.asarray(out.vertices, np.float32)
-    joints = np.asarray(out.joints, np.float32)
+    cache = getattr(ds, "_canon_cache", None) if ds is not None else None
+    if cache is not None and indices is not None:
+        sel = np.asarray(list(indices))
+        orient_w = cache["orient_w"][sel]
+        body = cache["body"][sel]
+        verts = cache["vertices"][sel]
+        joints = cache["joints"][sel]
+    else:
+        orient_w, body, verts, joints = _canonical_from_params(
+            np.asarray(hb["gt_pose_aa"], np.float32),
+            np.asarray(hb["gt_betas"], np.float32), smplx_params)
 
     extr = np.asarray(hb["extr"], np.float32)       # (B, 2, 4, 4) world→cam
     R_wc, t_wc = extr[:, :, :3, :3], extr[:, :, :3, 3]
@@ -169,8 +197,12 @@ def twoview_gt_from_smpl(hb: Dict, smplx_params) -> Dict:
         np.einsum("bvij,bkj->bvki", orient_rel, joints[:, :22])
         + trans_rel[:, :, None]
     )
-    uv = cam_j / cam_j[..., 2:]
-    j2d = np.einsum("bvij,bvkj->bvki", np.asarray(hb["intr"]), uv)[..., :2]
+    # guard degenerate depth (subject beside/behind a camera) like the
+    # h36m reader; project with the loss's own convention (global focal,
+    # per-sample principal)
+    uv = cam_j[..., :2] / np.maximum(cam_j[..., 2:], 1e-6)
+    center = np.asarray(hb["intr"], np.float32)[..., :2, 2]
+    j2d = uv * np.asarray(C.FOCAL_LENGTH, np.float32) + center[:, :, None, :]
 
     hb = dict(hb)
     hb["gt_vertices"] = verts
@@ -180,3 +212,27 @@ def twoview_gt_from_smpl(hb: Dict, smplx_params) -> Dict:
     hb["gt_trans"] = trans_rel.astype(np.float32)
     hb["gt_j2d"] = j2d.astype(np.float32)
     return hb
+
+
+def _canonical_from_params(aa: np.ndarray, betas: np.ndarray, smplx_params):
+    """SMPL params → (orient_w, body rotmats, canonical vertices, joints)."""
+    import jax.numpy as jnp
+
+    from ..bodymodel.smplx import smplx_forward
+    from ..geometry.rotations import batch_rodrigues
+
+    B = aa.shape[0]
+    orient_w = np.asarray(batch_rodrigues(jnp.asarray(aa[:, 0:3])))
+    body = np.asarray(
+        batch_rodrigues(jnp.asarray(aa[:, 3:66].reshape(B * 21, 3)))
+    ).reshape(B, 21, 3, 3)
+    out = smplx_forward(
+        smplx_params,
+        jnp.asarray(betas),
+        body_pose=jnp.asarray(body),
+        global_orient=jnp.broadcast_to(
+            jnp.eye(3, dtype=jnp.float32), (B, 1, 3, 3)
+        ),
+    )
+    return (orient_w, body, np.asarray(out.vertices, np.float32),
+            np.asarray(out.joints, np.float32))

@@ -178,11 +178,13 @@ def totalcap_batches(ds, smplx_params, batch_size: int, out_size: int = 224,
 
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+    if getattr(ds, "_canon_cache", None) is None:
+        ds.precompute_canonical_gt(smplx_params)  # one SMPL-X pass per db
     idx_all = list(indices) if indices is not None else list(range(len(ds)))
     for idx, k in _padded_ranges(len(idx_all), batch_size):
-        hb = ds.host_batch([idx_all[i] for i in idx], rng_np,
-                           swap_cams=False)
-        hb = twoview_gt_from_smpl(hb, smplx_params)
+        abs_idx = [idx_all[i] for i in idx]
+        hb = ds.host_batch(abs_idx, rng_np, swap_cams=False)
+        hb = twoview_gt_from_smpl(hb, smplx_params, ds=ds, indices=abs_idx)
         b = finish_batch(hb, key, deterministic=True, out_size=out_size)
         b["_valid"] = k
         yield b

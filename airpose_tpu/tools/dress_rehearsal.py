@@ -68,7 +68,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         "--poses-per-subject", "2", "--num-vertices", str(verts),
         "--render-blobs",
     ])
-    print(f"[1/8] dataset created: {aerial}", flush=True)
+    print(f"[1/9] dataset created: {aerial}", flush=True)
 
     # ---- 2. smoke training ----
     from ..train.trainer import main as train_main
@@ -86,7 +86,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
     summary["train_best_val"] = _read_json(
         osp.join(logdir, "rehearsal", "version_0", "checkpoints",
                  "best_val.json"))["best_val"]
-    print(f"[2/8] trained {steps} steps → {ckpt}", flush=True)
+    print(f"[2/9] trained {steps} steps → {ckpt}", flush=True)
 
     # ---- 3. converter round trip on the TRAINED weights ----
     from ..train.checkpoint import (export_reference_checkpoint,
@@ -111,7 +111,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
         for x, y in zip(jax.tree.leaves(trained["params"]),
                         jax.tree.leaves(back["params"]))))
-    print("[3/8] trained → reference .ckpt → orbax round trip: "
+    print("[3/9] trained → reference .ckpt → orbax round trip: "
           "array-identical", flush=True)
 
     # ---- 4. on-disk eval, bf16 + int8 ----
@@ -126,7 +126,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
             "--synthetic_verts", str(verts), *extra,
         ])
         summary[f"synth_{tag}"] = _read_json(out_pkl + ".metrics.json")["test"]
-    print("[4/8] on-disk eval compiled (bf16 + int8)", flush=True)
+    print("[4/9] on-disk eval compiled (bf16 + int8)", flush=True)
 
     # ---- 5+6. synthetic real capture → real:// eval ----
     from .synth_real_capture import write_capture
@@ -142,7 +142,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         "--img_res", str(img_res), "--synthetic_verts", str(verts),
     ])
     summary["real"] = _read_json(real_pkl + ".metrics.json")["test"]
-    print(f"[5-6/8] real-layout capture evaluated ({frames} frames)",
+    print(f"[5-6/9] real-layout capture evaluated ({frames} frames)",
           flush=True)
 
     # ---- 7. AirPose+ ----
@@ -167,7 +167,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
     summary["ba_stage1_final"] = float(stage1[-1])
     summary["ba_loss_final"] = float(ba["trace"][-1])
     assert osp.exists(osp.join(ba_out, "cam_trajectory_test.png"))
-    print("[7/8] AirPose+ refinement done (stage-1 loss "
+    print("[7/9] AirPose+ refinement done (stage-1 loss "
           f"{summary['ba_stage1_first']:.3f} → "
           f"{summary['ba_stage1_final']:.3f}; full-run final "
           f"{summary['ba_loss_final']:.3f}, random-prior stage 2 — "
@@ -189,7 +189,7 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
             k, v = line.split(": ")
             summary[k] = float(v)
     assert summary["benchtest_absdiff_pose_m1"] < 1e-3
-    print("[8/8] serve benchtest done", flush=True)
+    print("[8/9] serve benchtest done", flush=True)
 
     # ---- 8b. native C++ client replay (if a toolchain is available) ----
     # Full frames + ROI messages through the C++ clients' own
@@ -213,9 +213,9 @@ def run(workdir: str, steps: int = 6, frames: int = 6, subjects: int = 3,
         # client-side crop parity is ≤1 uint8 step; the network-amplified
         # residual stays far below pose-meaningful scales
         assert summary["native_benchtest_absdiff_pose_m1"] < 2e-2
-        print("[8b/8] native C++ client replay done", flush=True)
+        print("[8b/9] native C++ client replay done", flush=True)
     else:
-        print("[8b/8] native client not buildable here — skipped", flush=True)
+        print("[8b/9] native client not buildable here — skipped", flush=True)
 
     # ---- 9. cross-dataset families: mixed:// train + h36m:// eval ----
     # Generated h36m/totalcap prebuilt dbs (tools/synth_mocap_dbs) feed

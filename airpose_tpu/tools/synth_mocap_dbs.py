@@ -118,13 +118,16 @@ def main(argv=None):
     p.add_argument("--kind", required=True, choices=("h36m", "totalcap"))
     p.add_argument("--out", required=True)
     p.add_argument("-n", "--frames", type=int, default=4)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seed", type=int, default=None,
+                   help="default: the per-kind fixture seed (2 / 4)")
     args = p.parse_args(argv)
     os.makedirs(args.out, exist_ok=True)
     if args.kind == "h36m":
-        write_h36m(args.out, n=args.frames, seed=args.seed or 2)
+        write_h36m(args.out, n=args.frames,
+                   seed=2 if args.seed is None else args.seed)
     else:
-        write_totalcap(args.out, n=args.frames, seed=args.seed or 4)
+        write_totalcap(args.out, n=args.frames,
+                       seed=4 if args.seed is None else args.seed)
     print(f"wrote synthetic {args.kind} db: {args.out} "
           f"({args.frames} frames)")
 

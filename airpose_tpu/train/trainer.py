@@ -287,6 +287,8 @@ def main(argv=None):
     joints_gt = args.datapath.startswith("h36m://")
     totalcap = args.datapath.startswith("totalcap://")
     mixed = args.datapath.startswith("mixed://")
+    sources = None          # supervised on-disk source list (set below)
+    source_loss_kinds = []  # per-source loss kind ("smpl" | "joints")
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(
@@ -362,120 +364,42 @@ def main(argv=None):
             for s in range(0, min(len(test_ds), 4 * bs) - bs + 1, bs):
                 key, sub = jax.random.split(key)
                 yield _finish_real(test_ds, list(range(s, s + bs)), rng_np, sub)
-    elif joints_gt:
-        # Human3.6M prebuilt-db layout: joints-only supervised training
-        # (losses.joints_loss). The reference shipped these loaders but
-        # never wired them into a loss (its copies are legacy-broken,
-        # ref copenet/dsets/h36m.py:12-15) — this is the harness that
-        # makes them trainable.
-        from ..data.h36m import H36MDataset
+    else:
+        # Supervised on-disk families — ONE source factory shared by the
+        # standalone aerialpeople / h36m:// / totalcap:// paths AND
+        # mixed://. A "source" is (fin_train, n_train, fin_val, n_val,
+        # loss_kind); mixed:// simply runs two of them with the declared
+        # 50/50 draw (ref dsets/mixed_dataset.py:19-29 — which the
+        # reference never actually did: legacy-broken imports AND
+        # `np.random.rand(1) < 2` always returns dataset[0]). Every batch
+        # carries a source tag; the loop dispatches the source's
+        # supervised loss (SMPL-GT → twoview_loss, joints-GT →
+        # joints_loss) as cached jit programs updating ONE TrainState.
         from ..data.pipeline import finish_batch
 
-        path = args.datapath[len("h36m://"):]
-        train_ds = H36MDataset(path, "train", context_size=args.context_size)
-        test_ds = H36MDataset(path, "test", context_size=args.context_size)
-        print(f"loaded {len(train_ds)} train / {len(test_ds)} test frames")
-
-        def _finish_h36m(ds, idx, rng_np, deterministic, key):
-            hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
-            return finish_batch(hb, key, deterministic=deterministic)
-
-        def train_batches():
-            from ..data.pipeline import Prefetcher
-
-            worker_state = {}
-
-            def make_batch(wid):
-                if wid not in worker_state:
-                    worker_state[wid] = [
-                        np.random.default_rng(cfg.seed + wid),
-                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
-                    ]
-                st = worker_state[wid]
-                idx = st[0].integers(0, len(train_ds), size=cfg.batch_size)
-                st[1], sub = jax.random.split(st[1])
-                return _finish_h36m(train_ds, idx, st[0], False, sub)
-
-            return Prefetcher.from_factory(
-                make_batch, num_workers=max(1, args.data_workers))
-
-        def val_batches():
-            rng_np = np.random.default_rng(cfg.seed)
-            key = jax.random.PRNGKey(cfg.seed + 1)
-            n = len(test_ds)
-            bs = min(cfg.val_batch_size, n)
-            for s in range(0, n - bs + 1, bs):
-                key, sub = jax.random.split(key)
-                yield _finish_h36m(test_ds, list(range(s, s + bs)), rng_np,
-                                   True, sub)
-    elif totalcap:
-        # TotalCapture prebuilt-db layout: SMPL parameter GT converted to
-        # the synthetic twoview contract per batch (twoview_gt_from_smpl),
-        # then the FULL supervised twoview_loss applies. The reference
-        # shipped this loader legacy-broken and never wired it into a loss
-        # (ref copenet/dsets/totalcap.py:12).
-        from ..data.pipeline import finish_batch
-        from ..data.totalcap import TotalCaptureDataset, twoview_gt_from_smpl
-
-        path = args.datapath[len("totalcap://"):]
-        tc_ds = TotalCaptureDataset(path, context_size=args.context_size)
-        n = len(tc_ds)
-        n_train = max(1, int(n * 0.8))
-        print(f"loaded {n_train} train / {n - n_train} test frames")
-
-        def _finish_tc(idx, rng_np, deterministic, key):
-            hb = tc_ds.host_batch(idx, rng_np, swap_cams=not deterministic)
-            hb = twoview_gt_from_smpl(hb, smplx_params)
-            return finish_batch(hb, key, deterministic=deterministic)
-
-        def train_batches():
-            from ..data.pipeline import Prefetcher
-
-            worker_state = {}
-
-            def make_batch(wid):
-                if wid not in worker_state:
-                    worker_state[wid] = [
-                        np.random.default_rng(cfg.seed + wid),
-                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
-                    ]
-                st = worker_state[wid]
-                idx = st[0].integers(0, n_train, size=cfg.batch_size)
-                st[1], sub = jax.random.split(st[1])
-                return _finish_tc(idx, st[0], False, sub)
-
-            return Prefetcher.from_factory(
-                make_batch, num_workers=max(1, args.data_workers))
-
-        def val_batches():
-            rng_np = np.random.default_rng(cfg.seed)
-            key = jax.random.PRNGKey(cfg.seed + 1)
-            bs = min(cfg.val_batch_size, max(1, n - n_train))
-            for s in range(n_train, n - bs + 1, bs):
-                key, sub = jax.random.split(key)
-                yield _finish_tc(list(range(s, s + bs)), rng_np, True, sub)
-    elif mixed:
-        # Heterogeneous mixed training — what the reference's MixedDataset
-        # DECLARED (50% h36m / 50% aerialpeople per batch,
-        # ref dsets/mixed_dataset.py:19-29) but never did (legacy-broken
-        # imports AND `np.random.rand(1) < 2` always returns dataset[0]).
-        # Syntax: mixed://kind=path,kind=path with kind in
-        # {aerialpeople, h36m, totalcap}. Each batch comes wholly from one
-        # source; the loop dispatches that source's supervised loss
-        # (SMPL-GT → twoview_loss, joints-GT → joints_loss) — two cached
-        # jit programs updating ONE TrainState.
-        from ..data.pipeline import finish_batch
-
-        spec = args.datapath[len("mixed://"):]
-        pairs = [kv.split("=", 1) for kv in spec.split(",")]
-        if len(pairs) != 2 or any(len(kv) != 2 for kv in pairs):
-            raise SystemExit("mixed:// expects exactly two kind=path sources, "
-                         "e.g. mixed://h36m=/d/h36m,aerialpeople=/d/aerial")
+        if mixed:
+            spec = args.datapath[len("mixed://"):]
+            pairs = [kv.split("=", 1) for kv in spec.split(",")]
+            if len(pairs) != 2 or any(len(kv) != 2 for kv in pairs):
+                raise SystemExit(
+                    "mixed:// expects exactly two kind=path sources, "
+                    "e.g. mixed://h36m=/d/h36m,aerialpeople=/d/aerial")
+        elif joints_gt:
+            pairs = [("h36m", args.datapath[len("h36m://"):])]
+        elif totalcap:
+            pairs = [("totalcap", args.datapath[len("totalcap://"):])]
+        else:
+            # plain path = the reference pkl AerialPeople layout
+            pairs = [("aerialpeople", args.datapath)]
 
         def _build_source(kind, path):
             """→ (fin_train(idx,rng,key), n_train, fin_val(idx,rng,key),
-            n_val, loss_kind)."""
+            n_val, loss_kind). fin_* indices are 0-based positions within
+            the split."""
             if kind == "h36m":
+                # joints-only GT (losses.joints_loss); the reference
+                # shipped these loaders legacy-broken and never wired
+                # them into a loss (ref copenet/dsets/h36m.py:12-15)
                 from ..data.h36m import H36MDataset
 
                 tr = H36MDataset(path, "train",
@@ -483,30 +407,39 @@ def main(argv=None):
                 te = H36MDataset(path, "test",
                                  context_size=args.context_size)
 
+                def _fin(ds, idx, rng_np, det, key):
+                    hb = ds.host_batch(idx, rng_np, swap_cams=not det)
+                    return finish_batch(hb, key, deterministic=det)
+
                 def fin_train(idx, rng_np, key):
-                    hb = tr.host_batch(idx, rng_np, swap_cams=True)
-                    return finish_batch(hb, key)
+                    return _fin(tr, idx, rng_np, False, key)
 
                 def fin_val(idx, rng_np, key):
-                    hb = te.host_batch(idx, rng_np, swap_cams=False)
-                    return finish_batch(hb, key, deterministic=True)
+                    return _fin(te, idx, rng_np, True, key)
 
                 return fin_train, len(tr), fin_val, len(te), "joints"
             if kind == "totalcap":
+                # SMPL parameter GT → the synthetic twoview contract
+                # (twoview_gt_from_smpl; canonical forward precomputed
+                # once over the db, the aerialpeople pattern); 80/20
+                # train/val split (ref copenet/dsets/totalcap.py:12 is
+                # equally legacy-broken)
                 from ..data.totalcap import (TotalCaptureDataset,
                                              twoview_gt_from_smpl)
 
                 ds = TotalCaptureDataset(path,
                                          context_size=args.context_size)
+                ds.precompute_canonical_gt(smplx_params)
                 n_tr = max(1, int(len(ds) * 0.8))
 
-                def _fin(idx, rng_np, det, key):
-                    hb = ds.host_batch(idx, rng_np, swap_cams=not det)
-                    hb = twoview_gt_from_smpl(hb, smplx_params)
+                def _fin(abs_idx, rng_np, det, key):
+                    hb = ds.host_batch(abs_idx, rng_np, swap_cams=not det)
+                    hb = twoview_gt_from_smpl(hb, smplx_params, ds=ds,
+                                              indices=abs_idx)
                     return finish_batch(hb, key, deterministic=det)
 
                 def fin_train(idx, rng_np, key):
-                    return _fin(idx, rng_np, False, key)
+                    return _fin(list(idx), rng_np, False, key)
 
                 def fin_val(idx, rng_np, key):
                     return _fin([n_tr + i for i in idx], rng_np, True, key)
@@ -519,12 +452,16 @@ def main(argv=None):
                                          context_size=args.context_size)
                 te = AerialPeopleDataset(path, "test",
                                          context_size=args.context_size)
+                if len(tr) == 0 or len(te) == 0:
+                    raise SystemExit(
+                        f"no samples under {path} (expected the "
+                        "AerialPeople pkl layout)")
                 tr.precompute_canonical_gt(smplx_params, genders_to_params)
                 te.precompute_canonical_gt(smplx_params, genders_to_params)
 
                 def _fin(ds, idx, rng_np, det, key):
                     hb = ds.host_batch(idx, rng_np, swap_cams=not det)
-                    gt = ds.canonical_gt(idx)
+                    gt = ds.canonical_gt(idx)  # cached canonical GT
                     hb["gt_vertices"] = gt["vertices"]
                     hb["gt_joints"] = gt["joints"]
                     hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
@@ -537,16 +474,20 @@ def main(argv=None):
                     return _fin(te, idx, rng_np, True, key)
 
                 return fin_train, len(tr), fin_val, len(te), "smpl"
-            raise SystemExit(f"unknown mixed:// source kind '{kind}' "
-                         "(aerialpeople, h36m, totalcap)")
+            raise SystemExit(f"unknown data source kind '{kind}' "
+                             "(aerialpeople, h36m, totalcap)")
 
         sources = [_build_source(k, pth) for k, pth in pairs]
-        mixed_loss_kinds = [s[4] for s in sources]
-        print("mixed sources: " + ", ".join(
+        source_loss_kinds = [s[4] for s in sources]
+        print("data sources: " + ", ".join(
             f"{k}({s[1]} train/{s[3]} val, {s[4]} loss)"
             for (k, _), s in zip(pairs, sources)))
 
         def train_batches():
+            # parallel host batch builders overlapped with the train step
+            # (the reference's 8-30 DataLoader workers,
+            # copenet_twoview.py:427-443); per-worker deterministic
+            # streams, unordered interleaving
             from ..data.pipeline import Prefetcher
 
             worker_state = {}
@@ -558,7 +499,8 @@ def main(argv=None):
                         jax.random.PRNGKey(cfg.seed + 1000 + wid),
                     ]
                 st = worker_state[wid]
-                s = int(st[0].random() < 0.5)  # the declared 50/50 draw
+                s = (0 if len(sources) == 1
+                     else int(st[0].random() < 0.5))  # the 50/50 draw
                 fin_train, n_tr = sources[s][0], sources[s][1]
                 idx = st[0].integers(0, n_tr, size=cfg.batch_size)
                 st[1], sub = jax.random.split(st[1])
@@ -580,59 +522,6 @@ def main(argv=None):
                     b = fin_val(list(range(st, st + bs)), rng_np, sub)
                     b["mixed_source"] = np.full(bs, s, np.int32)
                     yield b
-    else:
-        # On-disk AerialPeople layout (real pkls or tools/create_aerialpeople
-        # output): host reader -> device-side finish_batch preprocessing.
-        from ..data import AerialPeopleDataset
-        from ..data.pipeline import finish_batch
-
-        train_ds = AerialPeopleDataset(args.datapath, "train",
-                                       context_size=args.context_size)
-        test_ds = AerialPeopleDataset(args.datapath, "test",
-                                      context_size=args.context_size)
-        print(f"loaded {len(train_ds)} train / {len(test_ds)} test samples")
-        train_ds.precompute_canonical_gt(smplx_params, genders_to_params)
-        test_ds.precompute_canonical_gt(smplx_params, genders_to_params)
-
-        def _finish(ds, idx, rng_np, deterministic, key):
-            hb = ds.host_batch(idx, rng_np, swap_cams=not deterministic)
-            # attach cached canonical GT
-            gt = ds.canonical_gt(idx)
-            hb["gt_vertices"] = gt["vertices"]
-            hb["gt_joints"] = gt["joints"]
-            hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
-            return finish_batch(hb, key, deterministic=deterministic)
-
-        def train_batches():
-            # parallel host batch builders overlapped with the train step
-            # (the reference's 8-30 DataLoader workers,
-            # copenet_twoview.py:427-443)
-            from ..data.pipeline import Prefetcher
-
-            worker_state = {}
-
-            def make_batch(wid):
-                if wid not in worker_state:
-                    worker_state[wid] = [
-                        np.random.default_rng(cfg.seed + wid),
-                        jax.random.PRNGKey(cfg.seed + 1000 + wid),
-                    ]
-                st = worker_state[wid]
-                idx = st[0].integers(0, len(train_ds), size=cfg.batch_size)
-                st[1], sub = jax.random.split(st[1])
-                return _finish(train_ds, idx, st[0], False, sub)
-
-            return Prefetcher.from_factory(
-                make_batch, num_workers=max(1, args.data_workers))
-
-        def val_batches():
-            rng_np = np.random.default_rng(cfg.seed)
-            key = jax.random.PRNGKey(cfg.seed + 1)
-            n = len(test_ds)
-            bs = min(cfg.val_batch_size, n)
-            for s in range(0, n - bs + 1, bs):
-                key, sub = jax.random.split(key)
-                yield _finish(test_ds, list(range(s, s + bs)), rng_np, True, sub)
 
     # ---- model + steps ----
     model_cls = MODEL_REGISTRY[cfg.model]
@@ -697,44 +586,51 @@ def main(argv=None):
                 "(use copenet_twoview[_sep] or hmr)"
             )
     elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
-        if mixed:
-            # one step-fn pair per loss kind, dispatched host-side on the
-            # batch's source tag — two cached jit programs over ONE state
-            from .losses import joints_loss
+        if sources is not None:
+            # one step-fn pair per loss kind present, dispatched host-side
+            # on the batch's source tag — cached jit programs over ONE
+            # TrainState (single-source runs dispatch trivially)
+            by_kind = {"smpl": make_twoview_step_fns(
+                model, smplx_params, cfg, tx)}
+            if "joints" in source_loss_kinds:
+                from .losses import joints_loss
 
-            by_kind = {
-                "smpl": make_twoview_step_fns(model, smplx_params, cfg, tx),
-                "joints": make_twoview_step_fns(
-                    model, smplx_params, cfg, tx, loss=joints_loss),
-            }
+                by_kind["joints"] = make_twoview_step_fns(
+                    model, smplx_params, cfg, tx, loss=joints_loss)
 
             def _src(batch):
                 return int(np.asarray(batch.pop("mixed_source"))[0])
 
             def train_step(state, batch, key):
-                kind = mixed_loss_kinds[_src(batch)]
+                kind = source_loss_kinds[_src(batch)]
                 return by_kind[kind][0](state, batch, key)
 
             def eval_step(state, batch):
-                kind = mixed_loss_kinds[_src(batch)]
+                kind = source_loss_kinds[_src(batch)]
                 return by_kind[kind][1](state, batch)
-        elif joints_gt:
-            from .losses import joints_loss
-
-            train_step, eval_step = make_twoview_step_fns(
-                model, smplx_params, cfg, tx, loss=joints_loss)
-        else:
+        else:  # synthetic:// supervised path (untagged batches)
             train_step, eval_step = make_twoview_step_fns(
                 model, smplx_params, cfg, tx)
-    elif joints_gt or mixed:
+    elif sources is not None and "joints" in source_loss_kinds:
         raise SystemExit(
-            f"--model {cfg.model} has no h36m://-style joints-GT or "
-            "mixed:// path (use copenet_twoview[_sep])"
+            f"--model {cfg.model} has no joints-GT path "
+            "(use copenet_twoview[_sep])"
         )
     else:
-        train_step, eval_step = make_singleview_step_fns(
+        base_train, base_eval = make_singleview_step_fns(
             model, smplx_params, cfg, tx, cfg.model
         )
+        if sources is not None:  # on-disk batches carry the source tag
+
+            def train_step(state, batch, key):
+                batch.pop("mixed_source")
+                return base_train(state, batch, key)
+
+            def eval_step(state, batch):
+                batch.pop("mixed_source")
+                return base_eval(state, batch)
+        else:
+            train_step, eval_step = base_train, base_eval
 
     # ---- checkpoints: resume or warm start ----
     ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))

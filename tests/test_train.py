@@ -183,6 +183,39 @@ def test_totalcap_gt_matches_full_forward(smplx_small):
         ) + out["gt_trans"][:, v][:, None]
         np.testing.assert_allclose(composed, jc, atol=2e-5)
 
+    # gt_j2d must be the LOSS's own projection of the GT (global focal +
+    # per-sample principal, cam_frame_and_project) — at the exact GT pose
+    # loss_kp2d is then ~0; projecting GT with the dataset's own focal
+    # instead would leave a systematic 2D gradient fighting the 3D terms
+    from airpose_tpu import constants as C
+
+    for v in range(2):
+        jc = np.einsum("bij,bkj->bki", extr[:, v, :3, :3], jw) \
+            + extr[:, v, :3, 3][:, None]
+        expect = (jc[..., :2] / jc[..., 2:]) * np.asarray(C.FOCAL_LENGTH) \
+            + intr[:, v, :2, 2][:, None]
+        np.testing.assert_allclose(out["gt_j2d"][:, v], expect, atol=1e-2)
+
+    # the precompute-cache path must agree with the direct computation
+    class _FakeDS:
+        db = [{"poses": aa[i], "betas": betas[i], "trans": trans_w[i]}
+              for i in range(Bn)]
+
+        def __len__(self):
+            return Bn
+
+    from airpose_tpu.data.totalcap import TotalCaptureDataset
+
+    fake = _FakeDS()
+    fake.precompute_canonical_gt = \
+        TotalCaptureDataset.precompute_canonical_gt.__get__(fake)
+    fake._canon_cache = None
+    fake.precompute_canonical_gt(smplx_small)
+    out_c = twoview_gt_from_smpl(hb, smplx_small, ds=fake,
+                                 indices=list(range(Bn)))
+    for k in ("gt_vertices", "gt_joints", "gt_orient", "gt_trans", "gt_j2d"):
+        np.testing.assert_allclose(out_c[k], out[k], atol=1e-6)
+
 
 def test_data_parallel_step_on_mesh(smplx_small, dataset):
     """The same train step on a sharded batch over 8 virtual devices must
