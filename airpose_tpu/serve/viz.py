@@ -67,14 +67,23 @@ def main(argv=None):
     p.add_argument("--smplx_model_dir", default=None)
     p.add_argument("--focal", type=float, nargs=2, default=(1475.0, 1475.0))
     p.add_argument("--max-frames", type=int, default=16)
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
+    p.add_argument("--synthetic_verts", type=int, default=10475,
+                   help="mesh size of the synthetic fallback body model")
     args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        # host-side rendering job; don't claim (or wait for) the TPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from ..bodymodel import load_smplx_npz, synthetic_smplx_params
 
     params = (
         load_smplx_npz(args.smplx_model_dir)
         if args.smplx_model_dir
-        else synthetic_smplx_params()
+        else synthetic_smplx_params(num_vertices=args.synthetic_verts)
     )
     wire = np.load(args.wire)
     paths = render_wire_messages(
