@@ -289,6 +289,7 @@ def main(argv=None):
     mixed = args.datapath.startswith("mixed://")
     sources = None          # supervised on-disk source list (set below)
     source_loss_kinds = []  # per-source loss kind ("smpl" | "joints")
+    source_names = []       # per-source kind label for metric reporting
     if args.datapath.startswith("synthetic://"):
         n = int(args.datapath.split("//")[1] or 64)
         data = make_synthetic_dataset(
@@ -479,6 +480,7 @@ def main(argv=None):
 
         sources = [_build_source(k, pth) for k, pth in pairs]
         source_loss_kinds = [s[4] for s in sources]
+        source_names = [k for k, _ in pairs]
         print("data sources: " + ", ".join(
             f"{k}({s[1]} train/{s[3]} val, {s[4]} loss)"
             for (k, _), s in zip(pairs, sources)))
@@ -706,12 +708,17 @@ def main(argv=None):
 
         if (step + 1) % args.val_every == 0 or step + 1 == args.max_steps:
             vals = []
+            vals_by_src = {}
             summary_done = False
             for vb in val_batches():
+                src = (int(np.asarray(vb["mixed_source"])[0])
+                       if "mixed_source" in vb else None)
                 vb = ({k: jnp.asarray(v) for k, v in vb.items()}
                       if mesh is None else shard_batch(vb, mesh))
                 vm, preds = eval_step(state, vb)
                 vals.append({k: float(v) for k, v in vm.items()})
+                if src is not None:
+                    vals_by_src.setdefault(src, []).append(vals[-1])
                 if not summary_done and cfg.model in (
                     "copenet_twoview", "copenet_twoview_sep"
                 ):
@@ -739,7 +746,28 @@ def main(argv=None):
             }
             for k, v in mean_val.items():
                 writer.add_scalar(f"{k}/val", v, step)
-            print(f"step {step + 1} val_loss {mean_val['loss']:.2f}", flush=True)
+            per_src = ""
+            if len(vals_by_src) > 1:
+                # heterogeneous (mixed://) val: the combined mean averages
+                # DIFFERENT loss kinds across sources — also report each
+                # source's own mean so progress per dataset is readable
+                def _sname(s):
+                    n = source_names[s]
+                    return f"{n}{s}" if source_names.count(n) > 1 else n
+
+                for s, lst in sorted(vals_by_src.items()):
+                    name = _sname(s)
+                    for k in sorted(set().union(*lst)):
+                        writer.add_scalar(
+                            f"{k}/val_{name}",
+                            float(np.mean([v[k] for v in lst if k in v])),
+                            step)
+                per_src = " (" + ", ".join(
+                    f"{_sname(s)} "
+                    f"{np.mean([v['loss'] for v in lst]):.2f}"
+                    for s, lst in sorted(vals_by_src.items())) + ")"
+            print(f"step {step + 1} val_loss {mean_val['loss']:.2f}"
+                  f"{per_src}", flush=True)
             ckpts.save_with_val(jax.device_get(state), mean_val["loss"])
 
         if guard.expired():

@@ -75,7 +75,7 @@ def test_trainer_cli_totalcap(tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
 
 
-def test_trainer_cli_mixed_h36m_totalcap(tmp_path):
+def test_trainer_cli_mixed_h36m_totalcap(tmp_path, capsys):
     """mixed:// datapath: heterogeneous 50/50 training — joints-GT (h36m)
     and SMPL-GT (totalcap) batches interleave, each dispatched to its own
     supervised loss over ONE TrainState (the behavior the reference's
@@ -105,6 +105,10 @@ def test_trainer_cli_mixed_h36m_totalcap(tmp_path):
     ckpt_dir = os.path.join(str(tmp_path / "logs"), "msmoke", "version_0",
                             "checkpoints")
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
+    # heterogeneous val reports each source's OWN loss mean next to the
+    # combined one (different loss kinds don't hide behind one average)
+    out = capsys.readouterr().out
+    assert "val_loss" in out and "h36m " in out and "totalcap " in out
 
 
 def test_trainer_cli_real_finetune(tmp_path):
