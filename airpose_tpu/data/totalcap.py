@@ -16,7 +16,7 @@ person box — the reference consumed whole frames, no detector boxes)."""
 
 import os.path as osp
 import pickle
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -38,19 +38,28 @@ class TotalCaptureDataset:
         return len(self.db)
 
     _canon_cache = None
+    _canon_rows = None  # absolute db index → cache row
 
-    def precompute_canonical_gt(self, smplx_params, chunk: int = 256):
-        """One-time canonical SMPL-X forward over the whole db (the
-        aerialpeople precompute pattern — the reference recomputed GT per
-        sample inside DataLoader workers): twoview_gt_from_smpl then only
-        composes the cheap per-view camera transform per batch."""
-        n = len(self.db)
+    def precompute_canonical_gt(self, smplx_params, chunk: int = 256,
+                                indices: Optional[Sequence[int]] = None):
+        """One-time canonical SMPL-X forward (the aerialpeople precompute
+        pattern — the reference recomputed GT per sample inside DataLoader
+        workers): twoview_gt_from_smpl then only composes the cheap
+        per-view camera transform per batch. ``indices`` restricts the
+        pass (and the (n, V, 3) vertex cache) to the frames that will
+        actually be consumed — e.g. a --split test eval over the 20%
+        tail."""
+        sel = (list(range(len(self.db))) if indices is None
+               else sorted(set(int(i) for i in indices)))
+        if not sel:
+            raise ValueError("no frames in the totalcap db")
+        rows = [self.db[i] for i in sel]
         aa = np.stack([np.asarray(r["poses"], np.float32).ravel()
-                       for r in self.db])
+                       for r in rows])
         betas = np.stack([np.asarray(r["betas"], np.float32).ravel()[:10]
-                          for r in self.db])
+                          for r in rows])
         ow, bd, vs, js = [], [], [], []
-        for s in range(0, n, chunk):
+        for s in range(0, len(sel), chunk):
             o, b, v, j = _canonical_from_params(
                 aa[s:s + chunk], betas[s:s + chunk], smplx_params)
             ow.append(o)
@@ -61,6 +70,7 @@ class TotalCaptureDataset:
             "orient_w": np.concatenate(ow), "body": np.concatenate(bd),
             "vertices": np.concatenate(vs), "joints": np.concatenate(js),
         }
+        self._canon_rows = {i: r for r, i in enumerate(sel)}
         return self._canon_cache
 
     def host_batch(self, indices: Sequence[int], rng: np.random.Generator,
@@ -174,8 +184,11 @@ def twoview_gt_from_smpl(hb: Dict, smplx_params, ds=None,
     from .. import constants as C
 
     cache = getattr(ds, "_canon_cache", None) if ds is not None else None
-    if cache is not None and indices is not None:
-        sel = np.asarray(list(indices))
+    rows = getattr(ds, "_canon_rows", None) if ds is not None else None
+    if (cache is not None and indices is not None
+            and (rows is None or all(int(i) in rows for i in indices))):
+        sel = np.asarray([int(i) if rows is None else rows[int(i)]
+                          for i in indices])
         orient_w = cache["orient_w"][sel]
         body = cache["body"][sel]
         verts = cache["vertices"][sel]

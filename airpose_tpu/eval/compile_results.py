@@ -178,9 +178,12 @@ def totalcap_batches(ds, smplx_params, batch_size: int, out_size: int = 224,
 
     rng_np = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    if getattr(ds, "_canon_cache", None) is None:
-        ds.precompute_canonical_gt(smplx_params)  # one SMPL-X pass per db
     idx_all = list(indices) if indices is not None else list(range(len(ds)))
+    rows = getattr(ds, "_canon_rows", None)
+    if (getattr(ds, "_canon_cache", None) is None
+            or (rows is not None and any(i not in rows for i in idx_all))):
+        # one SMPL-X pass, restricted to the frames this eval consumes
+        ds.precompute_canonical_gt(smplx_params, indices=idx_all)
     for idx, k in _padded_ranges(len(idx_all), batch_size):
         abs_idx = [idx_all[i] for i in idx]
         hb = ds.host_batch(abs_idx, rng_np, swap_cams=False)

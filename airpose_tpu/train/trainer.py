@@ -430,6 +430,10 @@ def main(argv=None):
 
                 ds = TotalCaptureDataset(path,
                                          context_size=args.context_size)
+                if len(ds) < 2:
+                    raise SystemExit(
+                        f"totalcap db under {path} has {len(ds)} frames; "
+                        "the 80/20 train/val split needs at least 2")
                 ds.precompute_canonical_gt(smplx_params)
                 n_tr = max(1, int(len(ds) * 0.8))
 
@@ -481,6 +485,13 @@ def main(argv=None):
         sources = [_build_source(k, pth) for k, pth in pairs]
         source_loss_kinds = [s[4] for s in sources]
         source_names = [k for k, _ in pairs]
+        for (k, pth), s in zip(pairs, sources):
+            if s[1] == 0 or s[3] == 0:
+                # fail fast: an empty split would otherwise surface as a
+                # range(step=0) ValueError at the first val epoch
+                raise SystemExit(
+                    f"source {k}={pth} has {s[1]} train / {s[3]} val "
+                    "frames; need at least 1 of each")
         print("data sources: " + ", ".join(
             f"{k}({s[1]} train/{s[3]} val, {s[4]} loss)"
             for (k, _), s in zip(pairs, sources)))

@@ -593,3 +593,36 @@ def test_totalcap_reader_and_mixed(tmp_path, rng):
         seen.add(int(mixed.host_batch([0], r, decode_images=False)
                      ["mixed_source"][0]))
     assert seen == {0, 1}
+
+
+def test_totalcap_precompute_subset_matches_full(tmp_path, rng):
+    """precompute_canonical_gt(indices=...) restricts the SMPL-X pass and
+    the vertex cache to the consumed frames (eval over a --split subset
+    must not canonical-forward the whole db), and the subset cache yields
+    identical GT to the full one."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.data import TotalCaptureDataset
+    from airpose_tpu.data.totalcap import twoview_gt_from_smpl
+
+    _write_fake_totalcap(str(tmp_path), n=5)
+    sp = synthetic_smplx_params(num_vertices=99, seed=3)
+
+    full = TotalCaptureDataset(str(tmp_path), context_size=128)
+    full.precompute_canonical_gt(sp)
+    sub = TotalCaptureDataset(str(tmp_path), context_size=128)
+    sub.precompute_canonical_gt(sp, indices=[4, 2])
+    assert sub._canon_cache["vertices"].shape[0] == 2
+    assert set(sub._canon_rows) == {2, 4}
+
+    hb = full.host_batch([2, 4], rng, swap_cams=False)
+    out_full = twoview_gt_from_smpl(hb, sp, ds=full, indices=[2, 4])
+    out_sub = twoview_gt_from_smpl(dict(hb), sp, ds=sub, indices=[2, 4])
+    for k in ("gt_vertices", "gt_joints", "gt_orient", "gt_trans", "gt_j2d"):
+        np.testing.assert_allclose(out_sub[k], out_full[k], atol=1e-7)
+
+    # an index OUTSIDE the subset cache falls back to direct compute
+    hb0 = full.host_batch([0], rng, swap_cams=False)
+    out0 = twoview_gt_from_smpl(dict(hb0), sp, ds=sub, indices=[0])
+    ref0 = twoview_gt_from_smpl(dict(hb0), sp)
+    np.testing.assert_allclose(out0["gt_vertices"], ref0["gt_vertices"],
+                               atol=1e-7)

@@ -111,6 +111,30 @@ def test_trainer_cli_mixed_h36m_totalcap(tmp_path, capsys):
     assert "val_loss" in out and "h36m " in out and "totalcap " in out
 
 
+def test_trainer_cli_rejects_empty_val_split(tmp_path):
+    """A source whose val split is empty must fail fast at startup with a
+    clear message, not crash with range(step=0) at the first val epoch:
+    a 1-frame totalcap db (80/20 -> 0 val frames) is rejected."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_data import _write_fake_totalcap
+
+    from airpose_tpu.train.trainer import main
+
+    t = str(tmp_path / "tc1")
+    os.makedirs(t)
+    _write_fake_totalcap(t, n=1)
+    with pytest.raises(SystemExit, match="at least 2"):
+        main([
+            "--name", "bad", "--version", "0", "--model", "copenet_twoview",
+            "--datapath", f"totalcap://{t}", "--log_dir",
+            str(tmp_path / "logs"), "--batch_size", "1", "--max_steps", "1",
+        ])
+
+
 def test_trainer_cli_real_finetune(tmp_path):
     import sys
 
