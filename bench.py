@@ -45,7 +45,42 @@ B = 64
 N_ITERS = 200
 
 
+def _wait_for_backend(deadline_s: float = 900.0, probe_timeout_s: float = 90.0):
+    """The axon relay can go fully down: even jax.devices() then hangs
+    forever. Probe backend init in a bounded subprocess (it exits and
+    releases the chip before we init) and retry until the deadline, so a
+    relay outage surfaces as a loud timely error instead of an eternal
+    hang. AIRPOSE_BENCH_NO_PROBE=1 skips (e.g. CPU smoke runs)."""
+    import subprocess
+    import sys
+
+    if os.environ.get("AIRPOSE_BENCH_NO_PROBE"):
+        return
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-300:]
+        except subprocess.TimeoutExpired:
+            err = f"backend init hung > {probe_timeout_s:.0f}s"
+        waited = time.monotonic() - t0
+        if waited > deadline_s:
+            raise RuntimeError(
+                f"TPU backend unreachable after {waited:.0f}s "
+                f"({attempt} probes); last: {err}")
+        print(f"bench: backend probe {attempt} failed ({err.strip()}); "
+              "retrying in 30s", file=sys.stderr, flush=True)
+        time.sleep(30)
+
+
 def main():
+    _wait_for_backend()
     model = AirPoseTwoView(dtype=jnp.bfloat16)
     smplx_params = synthetic_smplx_params()  # full-size 10475-vertex body
     use_bf16 = bool(os.environ.get("AIRPOSE_BENCH_BF16"))
