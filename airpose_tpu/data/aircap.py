@@ -126,3 +126,12 @@ class AircapDataset(CopenetRealDataset):
                     self.extr[m, i] = np.asarray(e, np.float32).reshape(4, 4)
 
         self._probe_frame_wh()
+
+    def focal_pairs(self):
+        """Per-camera (fx, fy) from this capture's own camera.pkl intrinsics
+        (the reference's aircap_cam{0,1}_FOCAL_LENGTH constants, ref
+        copenet/constants.py:4-5, are just its capture's K diagonal) — NOT
+        the DJI constants the parent class pins."""
+        return tuple(
+            (float(K[0, 0]), float(K[1, 1])) for K in self.intr
+        )

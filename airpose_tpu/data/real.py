@@ -179,6 +179,15 @@ class CopenetRealDataset:
                 self.frame_wh = (img.shape[1], img.shape[0])
                 break
 
+    def focal_pairs(self):
+        """Per-camera (fx, fy) the eval loss should project with, in
+        CAMERA order (machine_1, machine_2). The DJI capture pins the
+        reference's constants (ref copenet_real/constants: FOCAL_LENGTH0/1
+        consumed by copenet_twoview.py:85-86) rather than the calib yml —
+        kept for strict loss parity. AircapDataset overrides this with its
+        own intrinsics."""
+        return (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)
+
     def __len__(self):
         return len(self.frames)
 

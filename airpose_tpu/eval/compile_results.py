@@ -200,7 +200,6 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
     import jax
     import jax.numpy as jnp
 
-    from .. import constants as C
     from ..data.pipeline import finish_batch
 
     rng_np = np.random.default_rng(0)
@@ -208,10 +207,12 @@ def real_batches(ds, batch_size: int, out_size: int = 224) -> Iterable[Dict]:
     # focal follows the dataset's VIEW order: with first_cam=1 the reader
     # swaps views (view 0 = camera 1), so the per-view focal pair must
     # swap with it (cam1 is ~12% shorter than cam0 — projecting with the
-    # wrong one silently corrupts the eval loss)
+    # wrong one silently corrupts the eval loss). The pair comes from the
+    # dataset (DJI constants for real://, the capture's own intrinsics for
+    # aircap:// — ref aircap_cam*_FOCAL_LENGTH, copenet/constants.py:4-5).
     assert not getattr(ds, "shuffle_cams", False), \
         "eval requires a fixed camera order"
-    pair = (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)
+    pair = ds.focal_pairs()
     if getattr(ds, "first_cam", 0) == 1:
         pair = pair[::-1]
     focal = jnp.asarray(pair, dtype=jnp.float32)
@@ -657,7 +658,6 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
     import jax
     import jax.numpy as jnp
 
-    from .. import constants as C
     from ..geometry.projection import weak_cam_crop_to_full_trans
     from ..geometry.rotations import rot6d_to_rotmat, rotmat_to_aa
     from ..train.loop import make_real_singleview_step_fns
@@ -672,7 +672,7 @@ def compile_real_singleview(state, model, smplx_params, vposer_params, ds,
     _, eval_step = make_real_singleview_step_fns(
         model, smplx_params, vposer_params, cfg, tx, "hmr_camswap_difffl"
     )
-    focal_full = (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)[cam]
+    focal_full = ds.focal_pairs()[cam]
 
     outputs, losses = [], []
     for batch in batches:

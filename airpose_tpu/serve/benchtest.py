@@ -30,6 +30,7 @@ import numpy as np
 from .. import constants as C
 from . import protocol as P
 from .staged import StagedRegressor
+from .staged import normalize_host as _normalize  # shared with server/tests
 
 
 def _free_ports(n: int) -> List[int]:
@@ -46,11 +47,6 @@ def _denormalize_u8(img: np.ndarray) -> np.ndarray:
     """Normalized f32 crop → the uint8 image a client would send."""
     x = img * np.asarray(C.IMG_NORM_STD) + np.asarray(C.IMG_NORM_MEAN)
     return np.clip(x * 255.0, 0, 255).astype(np.uint8)
-
-
-def _normalize(img_u8: np.ndarray) -> np.ndarray:
-    x = img_u8.astype(np.float32) / 255.0
-    return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
 
 
 def _client_binary() -> str:
@@ -311,6 +307,16 @@ def run_benchtest(
         t.start()
     for t in threads:
         t.join(timeout=600)
+    # a thread still alive after the bounded join means the replay never
+    # finished (e.g. a multi-minute remote compile per shape) — its
+    # exception, if any, lands AFTER the errors check below, and the
+    # served[] rows it hasn't written are still zero; computing "diffs"
+    # from that would print plausible-looking garbage as a success
+    if any(t.is_alive() for t in threads):
+        errors.append(RuntimeError(
+            "benchtest client thread still running after 600 s join — "
+            "aborting instead of reporting diffs against unfinished "
+            "served results"))
     # graceful shutdown: cancel the server coroutines BEFORE stopping the
     # loop, then close it from its own thread — a bare stop() leaves
     # client_loop tasks awaiting q.get() on a closed loop (the "Event loop

@@ -23,14 +23,9 @@ from typing import Optional
 
 import numpy as np
 
-from .. import constants as C
 from . import protocol as P
 from .staged import StagedRegressor, state_to_wire, wire_to_peer
-
-
-def _normalize(img_u8: np.ndarray) -> np.ndarray:
-    x = img_u8.astype(np.float32) / 255.0
-    return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
+from .staged import normalize_host as _normalize  # noqa: F401 (test/tool API)
 
 
 class AirPoseServer:
@@ -68,6 +63,10 @@ class AirPoseServer:
         self.frames_served = 0
         self.max_frames = max_frames
         self.done = asyncio.Event()
+        # live connection transports: closed when `done` resolves so
+        # Server.wait_closed() (3.12.1+ waits on every accepted handler)
+        # can't hang on a peer/client still parked in read_message
+        self._transports: set = set()
         self._img_shape = None  # pinned to the first served frame
         # operational visibility (the reference's ROS nodes log status
         # continuously): every N served frames print the real-time health
@@ -96,6 +95,18 @@ class AirPoseServer:
     PEER_PRUNE_HORIZON = 8
 
     def _note_peer(self, msg_type: int, frame_id: int, data: np.ndarray):
+        # frame-id regression = the peer's CLIENT restarted its counter
+        # mid-link: entries from the old run (e.g. id 5000) would otherwise
+        # survive every horizon prune and later be consumed as the NEW
+        # run's frame 5000 — hours-stale state silently conditioning
+        # rounds 2/3. Drop everything ahead of the restarted counter.
+        newest = max((k[1] for k in self._peer_msgs if k[0] == msg_type),
+                     default=frame_id)
+        if frame_id + self.PEER_PRUNE_HORIZON < newest:
+            for k in [k for k in self._peer_msgs
+                      if k[0] == msg_type and k[1] > frame_id]:
+                self._peer_msgs.pop(k, None)
+                self._events.pop(k, None)
         self._peer_msgs[(msg_type, frame_id)] = data
         self._latest_peer[msg_type] = data
         self._events.setdefault((msg_type, frame_id), asyncio.Event()).set()
@@ -163,6 +174,15 @@ class AirPoseServer:
 
     async def peer_loop(self, reader, writer, first=None):
         self.peer_writer = writer
+        self._transports.add(writer)
+        # Fresh peer link ⇒ fresh peer run: its frame counter may restart
+        # at 0, so buffered state from the previous link (messages AND the
+        # lag-one fallback) would be consumed as the wrong frames' state.
+        self._peer_msgs.clear()
+        self._latest_peer.clear()
+        for ev in self._events.values():
+            ev.set()  # wake waiters parked on old-link keys (they fall
+        self._events.clear()  # back lag-one/mean, never a stale message)
         try:
             msg = first
             while True:
@@ -190,6 +210,7 @@ class AirPoseServer:
                 # mean/lag-one fallback, and a reconnecting peer can
                 # re-establish the link
                 self.peer_writer = None
+            self._transports.discard(writer)
             try:
                 writer.close()
             except RuntimeError:
@@ -199,6 +220,7 @@ class AirPoseServer:
         """Pump incoming messages into a queue and process the NEWEST
         pending frame, dropping the backlog (latest-frame-wins)."""
         q: asyncio.Queue = asyncio.Queue()
+        self._transports.add(writer)
         if first is not None:
             q.put_nowait(first)
 
@@ -243,6 +265,7 @@ class AirPoseServer:
                         break
         finally:
             pump_task.cancel()
+            self._transports.discard(writer)
             try:  # see peer_loop: detach from Server.wait_closed()
                 writer.close()
             except RuntimeError:
@@ -324,8 +347,16 @@ async def run_server(
             return
         if msg[0] == P.MSG_IMAGE:
             await server.client_loop(reader, writer, first=msg)
-        else:  # HELLO or a step message: the peer link
+        elif msg[0] == P.MSG_HELLO:
+            # ONLY a HELLO opens the peer link (the dialer always sends
+            # one, see below). Routing any non-IMAGE first message here
+            # would let a stray/hostile connection displace a live peer
+            # link and silently degrade both drones to lag-one serving.
             await server.peer_loop(reader, writer, first=msg)
+        else:
+            print(f"[robot {robot_id}] rejected connection: first message "
+                  f"type {msg[0]} is neither IMAGE nor HELLO", flush=True)
+            writer.close()
 
     tcp = await asyncio.start_server(on_connect, "127.0.0.1", port)
 
@@ -347,6 +378,15 @@ async def run_server(
     async with tcp:
         if server.max_frames is not None:
             await server.done.wait()
+            # Detach every live connection: Server.wait_closed()
+            # (3.12.1+ semantics) blocks until all accepted handlers
+            # finish, and the peer link would otherwise sit in
+            # read_message forever — --max-frames must exit, not hang.
+            for w in list(server._transports):
+                try:
+                    w.close()
+                except RuntimeError:
+                    pass
         else:
             await tcp.serve_forever()
 

@@ -26,6 +26,14 @@ from ..models.airpose import AirPoseTwoView, mean_init_state
 from .protocol import pack_params, unpack_params
 
 
+def normalize_host(img_u8: np.ndarray) -> np.ndarray:
+    """Host-side uint8→normalized-float crop (the serving path fuses this
+    in-graph — _normalize_in_graph below; one shared definition so the
+    host-side consumers, benchtest replay and tests, cannot drift)."""
+    x = img_u8.astype(np.float32) / 255.0
+    return (x - np.asarray(C.IMG_NORM_MEAN)) / np.asarray(C.IMG_NORM_STD)
+
+
 class ViewState(NamedTuple):
     pose: np.ndarray   # (B, 135) [trans*scale | 6D×22] — host (wire access)
     shape: np.ndarray  # (B, 10) — host (wire access)

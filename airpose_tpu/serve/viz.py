@@ -18,12 +18,20 @@ import os
 
 import numpy as np
 
+from .. import constants as C
+
 
 def render_wire_messages(
     wire: np.ndarray, smplx_params, out_dir: str,
     focal=(1475.0, 1475.0), image_size=(960, 540), max_frames: int = 16,
 ):
-    """(N, 145) wire floats → overlay PNGs. Returns written paths."""
+    """(N, 145) wire floats → overlay PNGs. Returns written paths.
+
+    ``focal`` is expressed at the capture's FULL resolution
+    (constants.IMG_SIZE, 1920×1080 — the convention every focal constant
+    in this codebase uses); it is rescaled per-axis to whatever
+    ``image_size`` canvas is rendered, so a full-res canvas projects
+    correctly too (not just the half-res default)."""
     import jax.numpy as jnp
     import matplotlib
 
@@ -51,7 +59,8 @@ def render_wire_messages(
         canvas = np.full(image_size[::-1] + (3,), 0.15)
         img = overlay_mesh(
             canvas, verts, smplx_params.faces,
-            (focal[0] / 2, focal[1] / 2),  # half-res canvas
+            (focal[0] * image_size[0] / C.IMG_SIZE[0],
+             focal[1] * image_size[1] / C.IMG_SIZE[1]),
             center=(image_size[0] / 2, image_size[1] / 2),
         )
         path = os.path.join(out_dir, f"frame_{i:06d}.png")

@@ -285,6 +285,31 @@ def test_aircap_reader_pairing_and_gating(tmp_path, rng):
     assert np.isfinite(np.asarray(batch["images"])).all()
 
 
+def test_aircap_eval_focal_uses_capture_intrinsics(tmp_path, rng):
+    """The aircap eval loss must project with the capture's OWN focal
+    lengths (ref aircap_cam*_FOCAL_LENGTH, copenet/constants.py:4-5), not
+    the DJI constants real:// pins."""
+    from airpose_tpu import constants as C
+    from airpose_tpu.data import AircapDataset
+    from airpose_tpu.eval.compile_results import real_batches
+
+    _write_fake_aircap(str(tmp_path), n=3, drop_person_at=())
+    ds = AircapDataset(str(tmp_path))
+    assert ds.focal_pairs() == ((1400.0, 1400.0), (1400.0, 1400.0))
+    batch = next(iter(real_batches(ds, 2, out_size=64)))
+    assert np.allclose(np.asarray(batch["focal"]), 1400.0)
+    # camera-order swap still follows first_cam (DJI path regression)
+    ds.intr[1, 0, 0] = 999.0
+    ds.first_cam = 1
+    batch = next(iter(real_batches(ds, 2, out_size=64)))
+    assert np.asarray(batch["focal"])[0, 0] == 999.0
+    # the DJI reader keeps the reference constants
+    from airpose_tpu.data.real import CopenetRealDataset
+
+    base = CopenetRealDataset.__new__(CopenetRealDataset)
+    assert base.focal_pairs() == (C.REAL_FOCAL_LENGTH0, C.REAL_FOCAL_LENGTH1)
+
+
 def test_real_reader_end_to_end(tmp_path, rng):
     from airpose_tpu.data.real import CopenetRealDataset
 

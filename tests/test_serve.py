@@ -659,3 +659,130 @@ def test_lag_one_static_scene_equals_synchronized(rng):
     rep_m = lag_one_report(variables, imgs, bbs, init_trans)
     assert rep_m["pose_absdiff"] > 0
     assert rep_m["pose_absdiff"] < 5.0 * max(rep_m["frame_motion_pose"], 1e-9), rep_m
+
+
+def test_peer_frame_id_restart_drops_stale_entries(served_model):
+    """A peer CLIENT restart resets its frame counter mid-link; buffered
+    entries from the old run ahead of the restarted counter must be
+    dropped, or the new run's frame N would silently consume hours-old
+    state (the horizon prune alone never reaches them: the horizon goes
+    negative after the restart)."""
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    srv = AirPoseServer(StagedRegressor(variables), robot_id=1)
+    data = np.zeros(145, np.float32)
+    srv._note_peer(P.MSG_STEP1, 4999, data)
+    srv._note_peer(P.MSG_STEP1, 5000, data)
+    srv._note_peer(P.MSG_STEP1, 0, data)  # counter restarted
+    assert (P.MSG_STEP1, 5000) not in srv._peer_msgs
+    assert (P.MSG_STEP1, 4999) not in srv._peer_msgs
+    assert (P.MSG_STEP1, 0) in srv._peer_msgs
+
+
+def test_new_peer_link_clears_previous_runs_state(served_model):
+    """(Re)establishing the peer link clears buffered messages AND the
+    lag-one fallback: a reconnected peer is a fresh run whose frame ids
+    may restart, and the old run's state must not condition its rounds."""
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    srv = AirPoseServer(StagedRegressor(variables), robot_id=1)
+    srv._note_peer(P.MSG_STEP1, 123, np.zeros(145, np.float32))
+    assert srv._latest_peer and srv._peer_msgs
+
+    class _W:
+        def close(self):
+            pass
+
+    async def drive():
+        reader = asyncio.StreamReader()
+        reader.feed_eof()  # link dies immediately after establishing
+        await srv.peer_loop(reader, _W())
+
+    asyncio.run(drive())
+    assert not srv._peer_msgs and not srv._latest_peer and not srv._events
+    assert srv.peer_writer is None and not srv._transports
+
+
+def test_stray_connection_cannot_hijack_peer_link(served_model, rng):
+    """Only a HELLO-first connection may open the peer link. Previously
+    ANY non-IMAGE first message was routed to peer_loop, displacing a
+    live peer link — a stray tool speaking the protocol silently degraded
+    both drones to lag-one serving."""
+    from airpose_tpu.serve.server import AirPoseServer
+
+    _, variables = served_model
+    srv = AirPoseServer(StagedRegressor(variables), robot_id=1,
+                        peer_timeout=0.1)
+    sentinel = object()
+    srv.peer_writer = sentinel  # stands in for a live peer link
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop, lt = _start_loop_with_server(srv, port)
+    try:
+        sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        sock.sendall(P.encode_step(
+            P.MSG_RESULT, 0, np.zeros(145, np.float32)))
+        sock.settimeout(5)
+        assert sock.recv(1) == b""  # server closed the connection
+        sock.close()
+        assert srv.peer_writer is sentinel  # the live link survived
+    finally:
+        srv.peer_writer = None  # let shutdown not trip on the sentinel
+        _stop_loop(loop, lt)
+
+
+def test_max_frames_exits_with_live_peer_link(served_model, rng):
+    """--max-frames must RETURN while the peer link is still alive:
+    Server.wait_closed() (3.12.1+) waits for every accepted handler, and
+    the higher-id server's inbound peer connection sits in read_message
+    forever unless `done` closes it."""
+    from airpose_tpu.serve.server import run_server
+
+    _, variables = served_model
+    socks = [socket.socket() for _ in range(2)]
+    for s in socks:
+        s.bind(("127.0.0.1", 0))
+    ports = [s.getsockname()[1] for s in socks]
+    for s in socks:
+        s.close()
+
+    loop = asyncio.new_event_loop()
+    done2 = threading.Event()
+    tasks = []
+
+    def run_loop():
+        asyncio.set_event_loop(loop)
+        reg0 = StagedRegressor(variables)
+        reg1 = StagedRegressor(variables)
+        # robot 1 dials robot 2: the peer link is an ACCEPTED connection
+        # of robot 2's server — exactly the handler that used to hang it
+        tasks.append(loop.create_task(run_server(
+            reg0, 1, ports[0], peer_port=ports[1], peer_timeout=0.3)))
+        t2 = loop.create_task(run_server(
+            reg1, 2, ports[1], peer_port=ports[0], peer_timeout=0.3,
+            max_frames=1))
+        tasks.append(t2)
+        t2.add_done_callback(lambda _: done2.set())
+        loop.run_forever()
+
+    t = threading.Thread(target=run_loop, daemon=True)
+    t.start()
+    import time
+
+    time.sleep(1.0)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    fid, data = _client_request(
+        ports[1], 1, img, np.asarray([0.0, 0.0, 1.0], np.float32),
+        np.asarray([0.0, 0.0, 10.0], np.float32))
+    assert fid == 1 and np.isfinite(data).all()
+    try:
+        assert done2.wait(timeout=30), \
+            "run_server(max_frames=1) did not exit with a live peer link"
+        assert tasks[1].exception() is None
+    finally:
+        _stop_loop(loop, t)
