@@ -174,6 +174,54 @@ def convert_reference_checkpoint(
     }
 
 
+def load_imagenet_resnet50(path: str) -> Dict:
+    """Torchvision ResNet-50 weight file → flax trunk trees.
+
+    The reference loads torchvision's ImageNet ResNet-50 weights
+    non-strictly at model construction (ref
+    copenet/src/copenet/models/model_copenet.py:236-238); here the same
+    warm start is explicit: point ``trainer --imagenet_ckpt`` at a saved
+    ``resnet50-*.pth`` state dict (raw, or wrapped in ``{'state_dict':
+    ...}``). The classifier ``fc.*`` entries are simply unused, matching
+    the reference's strict=False load.
+    """
+    import torch  # host-side conversion only — not the compute path
+
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    # tolerate DataParallel-style 'module.' prefixes
+    prefix = "module." if any(k.startswith("module.") for k in sd) else ""
+    return convert_resnet_torch_to_flax(sd, prefix)
+
+
+def warm_start_trunks(params: Dict, batch_stats: Dict, trunk: Dict,
+                      model_name: str):
+    """Merge converted trunk trees into a model's param/batch-stats trees.
+
+    Shared-trunk families get ``trunk``; the per-drone
+    ``copenet_twoview_sep`` gets the same ImageNet weights in BOTH
+    ``trunk0`` and ``trunk1`` (the reference constructs copenet0/copenet1
+    each with pretrained=True, ref model_copenet_sep.py:169-237). The
+    tree-map onto the existing leaves preserves dtypes and asserts the
+    structures match.
+    """
+    keys = (("trunk0", "trunk1") if model_name == "copenet_twoview_sep"
+            else ("trunk",))
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    for k in keys:
+        params[k] = jax.tree.map(
+            lambda old, new: np.asarray(new, dtype=old.dtype),
+            params[k], trunk["params"])
+        batch_stats[k] = jax.tree.map(
+            lambda old, new: np.asarray(new, dtype=old.dtype),
+            batch_stats[k], trunk["batch_stats"])
+    return params, batch_stats
+
+
 def _export_resnet_flax_to_torch(params: Dict, stats: Dict, sd: Dict,
                                  prefix: str) -> None:
     """Inverse of `convert_resnet_torch_to_flax`: flax trunk trees → torch

@@ -142,10 +142,12 @@ def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig,
     return train_step, eval_step
 
 
-def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: str):
+def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: str,
+                             vertex_mask=None):
     """Train/eval steps for the single-view families ('hmr',
     'copenet_singleview') and 'muhmr'. Shares the twoview batch layout
-    (view 0 used where single-view)."""
+    (view 0 used where single-view). ``vertex_mask`` (V,) optionally
+    restricts the vertex MSE to body-only vertices (--body_only_verts)."""
 
     def apply_model(params, batch_stats, batch, in_trans, train, dropout_key):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -169,15 +171,16 @@ def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: 
         if family == "hmr":
             return L.hmr_loss(
                 out.pose6d, out.betas, out.cam, batch, smplx_params, cfg.loss,
-                cfg.img_res,
+                cfg.img_res, vertex_mask=vertex_mask,
             )
         if family == "copenet_singleview":
             return L.singleview_loss(
-                out.pose, out.betas, batch, smplx_params, cfg.loss, cfg.trans_scale
+                out.pose, out.betas, batch, smplx_params, cfg.loss,
+                cfg.trans_scale, vertex_mask=vertex_mask,
             )
         return L.muhmr_loss(
             out.pose6d, out.betas, out.cam, batch, smplx_params, cfg.loss,
-            cfg.img_res,
+            cfg.img_res, vertex_mask=vertex_mask,
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))

@@ -12,7 +12,7 @@ TPU-first: both views' SMPL-X forwards run as ONE folded call (the reference
 calls the body model per view), and all losses are single fused programs.
 """
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +110,7 @@ def twoview_loss(
     smplx_params: SMPLXParams,
     w: LossWeights,
     trans_scale: float = C.TRANS_SCALE,
+    vertex_mask: Optional[jnp.ndarray] = None,  # (V,) body-only mask
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     B = pred_pose.shape[0]
     trans = pred_pose[..., :3] / trans_scale
@@ -138,6 +139,9 @@ def twoview_loss(
     )
     loss_kp3d = _limb_weight_joints(e3d, w.limbs3d).mean()
 
+    if vertex_mask is not None:  # hands/face zeroed on pred AND GT
+        verts = verts * vertex_mask[:, None]
+        gt_verts = gt_verts * vertex_mask[:, None]
     loss_shape = (
         _sq(verts[:, 0], gt_verts).mean()
         + _sq(verts[:, 1], gt_verts).mean()
@@ -270,6 +274,7 @@ def singleview_loss(
     smplx_params: SMPLXParams,
     w: LossWeights,
     trans_scale: float = C.TRANS_SCALE,
+    vertex_mask: Optional[jnp.ndarray] = None,
 ):
     """Full-perspective single view (ref copenet_singleview.py:76-160).
     Uses view 0 of the batch layout."""
@@ -291,7 +296,11 @@ def singleview_loss(
     loss_kp2d = _sq(j2d[:, :22], batch["gt_j2d"][:, 0, :22]).mean()
     e3d = _sq(out.joints[:, :22], gt_joints[:, :22])
     loss_kp3d = _limb_weight_joints(e3d, w.limbs3d).mean()
-    loss_shape = _sq(out.vertices, batch["gt_vertices"]).mean()
+    verts_p, verts_g = out.vertices, batch["gt_vertices"]
+    if vertex_mask is not None:
+        verts_p = verts_p * vertex_mask[:, None]
+        verts_g = verts_g * vertex_mask[:, None]
+    loss_shape = _sq(verts_p, verts_g).mean()
     loss_trans = _sq(trans, batch["gt_trans"][:, 0]).mean()
     loss_rootrot = _sq(rotmat[:, 0], batch["gt_orient"][:, 0]).mean()
     epose = _sq(rotmat[:, 1:], batch["gt_pose_rotmat"])
@@ -343,6 +352,7 @@ def hmr_loss(
     smplx_params: SMPLXParams,
     w: LossWeights,
     img_res: int = C.CROP_SIZE,
+    vertex_mask: Optional[jnp.ndarray] = None,
 ):
     """Weak-perspective single view (ref hmr.py:76-130)."""
     B = pred_pose6d.shape[0]
@@ -358,7 +368,11 @@ def hmr_loss(
     loss_kp2d = _sq(j2d[:, :22], batch["gt_j2d_crop"][:, 0, :22]).mean()
     e3d = _sq(out.joints[:, :22], batch["gt_joints"][:, :22])
     loss_kp3d = _limb_weight_joints(e3d, w.limbs3d).mean()
-    loss_shape = _sq(out.vertices, batch["gt_vertices"]).mean()
+    verts_p, verts_g = out.vertices, batch["gt_vertices"]
+    if vertex_mask is not None:
+        verts_p = verts_p * vertex_mask[:, None]
+        verts_g = verts_g * vertex_mask[:, None]
+    loss_shape = _sq(verts_p, verts_g).mean()
     loss_rootrot = _sq(rotmat[:, :1], batch["gt_orient"][:, :1]).mean()
     epose = _sq(rotmat[:, 1:], batch["gt_pose_rotmat"])
     loss_pose = _limb_weight_rotmats(epose, w.limbstheta).mean()
@@ -393,6 +407,7 @@ def muhmr_loss(
     smplx_params: SMPLXParams,
     w: LossWeights,
     img_res: int = C.CROP_SIZE,
+    vertex_mask: Optional[jnp.ndarray] = None,
 ):
     """Two-view weak-perspective (ref muhmr.py:76-140): per-view hmr terms,
     cross-view consistency on body rotmats only, two cam barriers."""
@@ -420,6 +435,9 @@ def muhmr_loss(
     loss_kp3d = _limb_weight_joints(e3d, w.limbs3d).mean()
 
     gt_verts = batch["gt_vertices"]
+    if vertex_mask is not None:
+        verts = verts * vertex_mask[:, None]
+        gt_verts = gt_verts * vertex_mask[:, None]
     loss_shape = _sq(verts[:, 0], gt_verts).mean() + _sq(verts[:, 1], gt_verts).mean()
 
     gt_orient = batch["gt_orient"]

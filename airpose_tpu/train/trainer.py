@@ -33,6 +33,7 @@ TensorBoard scalars per loss term, device-side input pipeline.
 """
 
 import argparse
+import functools
 import os
 import time
 
@@ -77,10 +78,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8 quantization points — the recovery path "
                         "when the calibration clip-rate report shows "
                         "activation clipping)")
+    t.add_argument("--imagenet_ckpt", default=None,
+                   help="torchvision ResNet-50 .pth state dict to warm-start "
+                        "the conv trunk(s) from (the reference loads ImageNet "
+                        "weights non-strictly at construction, "
+                        "model_copenet.py:236-238)")
     t.add_argument("--pretrained_checkpoint", default=None,
                    help="orbax dir to initialize from (fine-tune)")
     t.add_argument("--smplx_model_dir", default=None,
                    help="dir with SMPLX_*.npz; synthetic body if omitted")
+    t.add_argument("--body_only_verts", default=None, metavar="DIR",
+                   help="directory with MANO_SMPLX_vertex_ids.pkl / "
+                        "SMPL-X__FLAME_vertex_ids.npy: mask hand/face "
+                        "vertices out of the vertex loss (the reference "
+                        "builds this mask but never applies it, "
+                        "copenet_twoview.py:67-72 — opt-in per SURVEY §2.2)")
     t.add_argument("--vposer_ckpt", default=None,
                    help="released VPoser v2 weights (torch .ckpt/.pt or npz) "
                         "— the real:// fine-tune's pose prior (ref "
@@ -254,6 +266,7 @@ def main(argv=None):
     from ..parallel import make_mesh, replicate, shard_batch
     from .checkpoint import CheckpointManager
     from .elastic import DeadlineGuard
+    from . import losses
     from .loop import make_singleview_step_fns, make_twoview_step_fns
     from .state import create_train_state
 
@@ -559,6 +572,18 @@ def main(argv=None):
         model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
         train_reg_only=cfg.train_reg_only,
     )
+    vmask = None
+    if args.body_only_verts:
+        from ..bodymodel.vertex_ids import load_body_vertex_mask
+
+        vmask = jnp.asarray(load_body_vertex_mask(
+            args.body_only_verts, smplx_params.v_template.shape[0]))
+        print(f"body-only vertex loss: {int((vmask == 0).sum())} hand/face "
+              f"vertices masked of {vmask.shape[0]}")
+        if real_finetune:
+            raise SystemExit(
+                "--body_only_verts applies to the supervised vertex loss; "
+                "the real:// self-supervised objective has no vertex term")
     if real_finetune:
         from ..bodymodel import init_vposer_params, load_vposer_ckpt
         from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
@@ -603,8 +628,10 @@ def main(argv=None):
             # one step-fn pair per loss kind present, dispatched host-side
             # on the batch's source tag — cached jit programs over ONE
             # TrainState (single-source runs dispatch trivially)
+            smpl_loss = None if vmask is None else functools.partial(
+                losses.twoview_loss, vertex_mask=vmask)
             by_kind = {"smpl": make_twoview_step_fns(
-                model, smplx_params, cfg, tx)}
+                model, smplx_params, cfg, tx, loss=smpl_loss)}
             if "joints" in source_loss_kinds:
                 from .losses import joints_loss
 
@@ -622,8 +649,10 @@ def main(argv=None):
                 kind = source_loss_kinds[_src(batch)]
                 return by_kind[kind][1](state, batch)
         else:  # synthetic:// supervised path (untagged batches)
+            smpl_loss = None if vmask is None else functools.partial(
+                losses.twoview_loss, vertex_mask=vmask)
             train_step, eval_step = make_twoview_step_fns(
-                model, smplx_params, cfg, tx)
+                model, smplx_params, cfg, tx, loss=smpl_loss)
     elif sources is not None and "joints" in source_loss_kinds:
         raise SystemExit(
             f"--model {cfg.model} has no joints-GT path "
@@ -631,7 +660,7 @@ def main(argv=None):
         )
     else:
         base_train, base_eval = make_singleview_step_fns(
-            model, smplx_params, cfg, tx, cfg.model
+            model, smplx_params, cfg, tx, cfg.model, vertex_mask=vmask
         )
         if sources is not None:  # on-disk batches carry the source tag
 
@@ -647,6 +676,14 @@ def main(argv=None):
 
     # ---- checkpoints: resume or warm start ----
     ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    if args.imagenet_ckpt:
+        from .checkpoint import load_imagenet_resnet50, warm_start_trunks
+
+        trunk = load_imagenet_resnet50(args.imagenet_ckpt)
+        p, bs = warm_start_trunks(
+            state.params, state.batch_stats, trunk, cfg.model)
+        state = state.replace(params=p, batch_stats=bs)
+        print(f"warm-started trunk(s) from {args.imagenet_ckpt}")
     if args.pretrained_checkpoint:
         import orbax.checkpoint as ocp
 

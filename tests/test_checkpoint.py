@@ -428,3 +428,52 @@ def test_export_then_convert_roundtrips(tmp_path, family):
         for k in orig_map:
             np.testing.assert_allclose(conv_map[k], orig_map[k], atol=1e-6,
                                        err_msg=k)
+
+
+def test_imagenet_trunk_warm_start(tmp_path):
+    """`--imagenet_ckpt`: a raw torchvision ResNet-50 state dict warm-starts
+    the trunk(s) — shared families get `trunk`, the _sep family both
+    per-drone copies (ref model_copenet.py:236-238 non-strict ImageNet
+    load at construction)."""
+    from airpose_tpu.models import MODEL_REGISTRY, family_init_args
+    from airpose_tpu.train.checkpoint import (
+        load_imagenet_resnet50,
+        warm_start_trunks,
+    )
+
+    torch.manual_seed(3)
+    tmodel = TorchResNet50Trunk()
+    sd = dict(tmodel.state_dict())
+    # torchvision files carry the classifier head; the warm start ignores it
+    sd["fc.weight"] = torch.randn(1000, 2048)
+    sd["fc.bias"] = torch.randn(1000)
+    path = str(tmp_path / "resnet50-imagenet.pth")
+    torch.save(sd, path)
+
+    trunk = load_imagenet_resnet50(path)
+    want_conv1 = sd["conv1.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(
+        np.asarray(trunk["params"]["conv1"]["kernel"]), want_conv1)
+
+    for family, keys in (
+        ("copenet_twoview", ("trunk",)),
+        ("copenet_twoview_sep", ("trunk0", "trunk1")),
+    ):
+        model = MODEL_REGISTRY[family]()
+        variables = model.init(
+            jax.random.PRNGKey(5), *family_init_args(family, 1, 64))
+        p, bs = warm_start_trunks(
+            dict(variables["params"]), dict(variables["batch_stats"]),
+            trunk, family)
+        for k in keys:
+            np.testing.assert_allclose(
+                np.asarray(p[k]["conv1"]["kernel"]), want_conv1, atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(bs[k]["bn1"]["mean"]),
+                sd["bn1.running_mean"].numpy(), atol=1e-6)
+        # the regressor core is untouched
+        core_key = "core" if family == "copenet_twoview" else "core0"
+        before = jax.tree.leaves(variables["params"][core_key])
+        after = jax.tree.leaves(p[core_key])
+        for a, b in zip(before, after):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

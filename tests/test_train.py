@@ -387,3 +387,60 @@ def test_real_singleview_variants(smplx_small, dataset):
         )
         st, m = train_step(state, batch, jax.random.PRNGKey(0), 0)
         assert np.isfinite(float(m["loss"])), family
+
+
+def test_body_only_vertex_mask(smplx_small, dataset, tmp_path):
+    """--body_only_verts: hand/face vertices stop influencing the vertex
+    loss (ref builds the mask at copenet_twoview.py:67-72 but never applies
+    it; here it is the opt-in flag SURVEY §2.2 prescribes)."""
+    import pickle
+
+    from airpose_tpu.bodymodel.vertex_ids import load_body_vertex_mask
+    from airpose_tpu.config import LossWeights
+    from airpose_tpu.train import losses as L
+
+    V = smplx_small.v_template.shape[0]
+    hand_ids = np.arange(0, 10)
+    face_ids = np.arange(20, 40)
+    with open(tmp_path / "MANO_SMPLX_vertex_ids.pkl", "wb") as f:
+        pickle.dump({"left_hand": hand_ids[:5], "right_hand": hand_ids[5:]}, f)
+    np.save(tmp_path / "SMPL-X__FLAME_vertex_ids.npy", face_ids)
+
+    mask = load_body_vertex_mask(str(tmp_path), V)
+    assert mask.shape == (V,)
+    assert (mask[hand_ids] == 0).all() and (mask[face_ids] == 0).all()
+    assert mask.sum() == V - 30
+
+    batch = batch_slice(dataset, 0, B)
+    rng = jax.random.PRNGKey(7)
+    pose = 0.1 * jax.random.normal(rng, (B, 2, 135))
+    betas = 0.1 * jax.random.normal(rng, (B, 2, 10))
+    w = LossWeights()
+
+    # perturbing GT at a MASKED vertex: masked loss invariant, unmasked not
+    batch_pert = dict(batch)
+    gtv = np.array(batch["gt_vertices"])
+    gtv[:, hand_ids[0]] += 5.0
+    batch_pert["gt_vertices"] = jnp.asarray(gtv)
+
+    m = jnp.asarray(mask)
+    l_masked, _ = L.twoview_loss(pose, betas, batch, smplx_small, w,
+                                 vertex_mask=m)
+    l_masked_p, _ = L.twoview_loss(pose, betas, batch_pert, smplx_small, w,
+                                   vertex_mask=m)
+    l_plain, _ = L.twoview_loss(pose, betas, batch, smplx_small, w)
+    l_plain_p, _ = L.twoview_loss(pose, betas, batch_pert, smplx_small, w)
+    np.testing.assert_allclose(float(l_masked), float(l_masked_p), rtol=1e-6)
+    assert abs(float(l_plain) - float(l_plain_p)) > 1e-3
+
+    # the single-view/muhmr losses honor the same kwarg
+    pose1 = pose[:, 0]
+    cam = 0.1 * jax.random.normal(rng, (B, 2, 3))
+    for fn, args in (
+        (L.singleview_loss, (pose1, betas[:, 0])),
+        (L.hmr_loss, (pose[:, 0, 3:], betas[:, 0], cam[:, 0])),
+        (L.muhmr_loss, (pose[..., 3:], betas, cam)),
+    ):
+        la, _ = fn(*args, batch, smplx_small, w, vertex_mask=m)
+        lb, _ = fn(*args, batch_pert, smplx_small, w, vertex_mask=m)
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
