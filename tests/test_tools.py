@@ -231,3 +231,53 @@ def test_prepare_real_capture_downsample_scales_K(tmp_path, rng):
     # pre-fix, the downsampled solve ran with an unscaled K: distance 2x off
     np.testing.assert_allclose(
         np.linalg.norm(tvecs[2]), np.linalg.norm(tvecs[1]), rtol=0.1)
+
+
+def test_hdf5_real_export(tmp_path):
+    """--real mode: capture keypoints + predicted SMPL-wrt-cam transforms
+    + frame paths per split (ref copenet_data_hdf5.py:38-109, with each
+    split/camera using its OWN predictions — the reference script's
+    copy-paste slips are not replicated)."""
+    import h5py
+
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+    from airpose_tpu.tools.synth_real_capture import write_capture
+    from airpose_tpu.tools.to_hdf5 import main as hdf5_main
+
+    cap = str(tmp_path / "capture")
+    write_capture(cap, n_frames=6, seed=2)
+
+    rng = np.random.default_rng(0)
+
+    def fake_split(n):
+        return [{"output": {
+            f"pred_angles{v}": rng.normal(size=(n, 22, 3)).astype(np.float32)
+            for v in (0, 1)
+        } | {
+            f"pred_smpltrans{v}": rng.normal(size=(n, 3)).astype(np.float32)
+            for v in (0, 1)
+        }}]
+
+    per_split = [fake_split(2), fake_split(4)]  # [test, train]
+    res_pkl = str(tmp_path / "res.pkl")
+    with open(res_pkl, "wb") as f:
+        pickle.dump(per_split, f)
+
+    h5path = str(tmp_path / "real.h5")
+    hdf5_main(["--real", "--datapath", cap, "--outputs_pkl", res_pkl,
+               "--out", h5path, "--train_frames", "0", "4",
+               "--test_frames", "4", "6"])
+
+    with h5py.File(h5path) as f:
+        assert f["joints2d_train_gt0"].shape == (4, 24, 3)
+        assert f["joints2d_test_gt1"].shape == (2, 24, 3)
+        T = f["smpl_wrt_cam1_train"][...]
+        assert T.shape == (4, 4, 4)
+        np.testing.assert_array_equal(T[:, 3], [[0, 0, 0, 1]] * 4)
+        want_rot = np.asarray(batch_rodrigues(
+            per_split[1][0]["output"]["pred_angles1"][:, 0]))
+        np.testing.assert_allclose(T[:, :3, :3], want_rot, atol=1e-6)
+        np.testing.assert_allclose(
+            T[:, :3, 3], per_split[1][0]["output"]["pred_smpltrans1"])
+        paths = [p.decode() for p in f["im0_test"][...]]
+        assert paths[0].endswith("machine_1/images/000004.jpg")
