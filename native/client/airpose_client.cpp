@@ -24,6 +24,13 @@
 //          mapping), crops/resizes exactly like the offline eval
 //          pipeline, and computes the bb conditioning from
 //          --px/--py (camera principal point). See airpose_roi.hpp.
+//          With --reproject (the reference one_robot.launch option),
+//          frames are first resampled from the camera's native
+//          intrinsics (--src-fx/--src-fy/--px/--py) to the canonical
+//          intrinsics the model was trained with
+//          (--dst-fx/--dst-fy/--dst-px/--dst-py/--dst-w/--dst-h); the
+//          ROI is mapped through the same affine and bb uses the target
+//          principal point.
 //
 // Output: one line per frame
 //   RESULT frame=<id> latency_ms=<t> beta0=<v> trans=<x,y,z> pose0=<6 floats>
@@ -54,6 +61,16 @@ struct Options {
   float px = 960.0f;   // principal point (constants CX/CY defaults)
   float py = 540.0f;
   bool roi_groundtruth = false;
+  // --reproject (roi mode): resample frames from the camera's native
+  // intrinsics (--src-fx/--src-fy + --px/--py) to the canonical
+  // intrinsics the model was trained with (the reference one_robot.launch
+  // `reproject` option). Target defaults: same focals (identity unless
+  // overridden), frame-sized target, centered principal point.
+  bool reproject = false;
+  float src_fx = 0.0f, src_fy = 0.0f;        // required with --reproject
+  float dst_fx = -1.0f, dst_fy = -1.0f;      // default: src focals
+  float dst_px = -1.0f, dst_py = -1.0f;      // default: dst frame center
+  int dst_w = -1, dst_h = -1;                // default: img_w/img_h
   int context_size = 672;
   std::string dump_results;  // binary {u32 frame_id, f32 data[145]} records
 };
@@ -81,12 +98,37 @@ Options parse(int argc, char** argv) {
     else if (a == "--px") o.px = std::atof(next().c_str());
     else if (a == "--py") o.py = std::atof(next().c_str());
     else if (a == "--roi-groundtruth") o.roi_groundtruth = true;
+    else if (a == "--reproject") o.reproject = true;
+    else if (a == "--src-fx") o.src_fx = std::atof(next().c_str());
+    else if (a == "--src-fy") o.src_fy = std::atof(next().c_str());
+    else if (a == "--dst-fx") o.dst_fx = std::atof(next().c_str());
+    else if (a == "--dst-fy") o.dst_fy = std::atof(next().c_str());
+    else if (a == "--dst-px") o.dst_px = std::atof(next().c_str());
+    else if (a == "--dst-py") o.dst_py = std::atof(next().c_str());
+    else if (a == "--dst-w") o.dst_w = std::atoi(next().c_str());
+    else if (a == "--dst-h") o.dst_h = std::atoi(next().c_str());
     else if (a == "--context-size") o.context_size = std::atoi(next().c_str());
     else if (a == "--dump-results") o.dump_results = next();
     else {
       std::fprintf(stderr, "unknown arg %s\n", a.c_str());
       std::exit(2);
     }
+  }
+  if (o.reproject) {
+    if (o.mode != "roi") {
+      std::fprintf(stderr, "--reproject needs --mode roi\n");
+      std::exit(2);
+    }
+    if (o.src_fx <= 0.0f || o.src_fy <= 0.0f) {
+      std::fprintf(stderr, "--reproject needs --src-fx/--src-fy > 0\n");
+      std::exit(2);
+    }
+    if (o.dst_w <= 0) o.dst_w = o.img_w;
+    if (o.dst_h <= 0) o.dst_h = o.img_h;
+    if (o.dst_fx <= 0.0f) o.dst_fx = o.src_fx;
+    if (o.dst_fy <= 0.0f) o.dst_fy = o.src_fy;
+    if (o.dst_px < 0.0f) o.dst_px = static_cast<float>(o.dst_w) / 2.0f;
+    if (o.dst_py < 0.0f) o.dst_py = static_cast<float>(o.dst_h) / 2.0f;
   }
   return o;
 }
@@ -147,11 +189,25 @@ int main(int argc, char** argv) {
         }
         airpose::RoiMessage roi{roi_raw[0], roi_raw[1], roi_raw[2],
                                 roi_raw[3]};
-        airpose::Box box = airpose::roi_to_box(roi, o.img_w, o.img_h,
-                                               o.roi_groundtruth);
-        airpose::CropResult crop = airpose::crop_and_encode(
-            full.data(), o.img_w, o.img_h, box, o.px, o.py, o.size,
-            o.context_size);
+        airpose::CropResult crop;
+        if (o.reproject) {
+          // README one_robot.launch `reproject`: resample to the model's
+          // canonical intrinsics before crop/encode (airpose_roi.hpp)
+          const airpose::Intrinsics src{o.src_fx, o.src_fy, o.px, o.py};
+          const airpose::Intrinsics dst{o.dst_fx, o.dst_fy, o.dst_px,
+                                        o.dst_py};
+          airpose::Box box = airpose::roi_to_box_reprojected(
+              roi, src, dst, o.dst_w, o.dst_h, o.roi_groundtruth);
+          crop = airpose::crop_and_encode_reprojected(
+              full.data(), o.img_w, o.img_h, box, src, dst, o.size,
+              o.context_size);
+        } else {
+          airpose::Box box = airpose::roi_to_box(roi, o.img_w, o.img_h,
+                                                 o.roi_groundtruth);
+          crop = airpose::crop_and_encode(full.data(), o.img_w, o.img_h,
+                                          box, o.px, o.py, o.size,
+                                          o.context_size);
+        }
         rgb = std::move(crop.rgb);
         bb[0] = crop.bb[0];
         bb[1] = crop.bb[1];

@@ -31,10 +31,17 @@
 //   4. bb = (crop_center / principal_point − 1, 224/max(w,h) in frame
 //      pixels) (data/pipeline.py:130-138; ref dsets/aerialpeople.py:134-135).
 //
-// The reference client's `reproject` option (reprojection to different
-// intrinsics) is out of scope here: the per-camera intrinsics travel in
-// the dataset/CLI instead (constants FOCAL_LENGTH0/1 — see
-// airpose_tpu/constants.py).
+// The reference client's `reproject` launch option ("reprojection to
+// different intrinsics parameters", /root/reference/README.md
+// one_robot.launch description; the aircap client source itself is a
+// missing submodule) is implemented as a pure-intrinsics reprojection:
+// the frame is resampled from the camera's native pinhole intrinsics
+// K_src to the canonical intrinsics K_dst the network was trained with
+// (an axis-aligned affine — per-axis scale fx_dst/fx_src plus a
+// principal-point shift; no rotation, no distortion), the ROI box is
+// mapped through the same affine, and the bb conditioning uses the
+// TARGET principal point. The resample is folded into the decimation
+// stage (one bilinear pass, no intermediate full-frame buffer).
 
 #pragma once
 
@@ -55,10 +62,17 @@ struct Box {
   int height() const { return ymax - ymin; }
 };
 
-// README ROI semantics → a pixel box, clamped to the frame.
-inline Box roi_to_box(const RoiMessage& roi, int frame_w, int frame_h,
-                      bool groundtruth) {
-  float x0, x1, y0, y1;
+// Pinhole intrinsics (zero skew/distortion — the README's reprojection
+// is between ideal pinhole parameter sets).
+struct Intrinsics {
+  float fx, fy, cx, cy;
+};
+
+namespace detail {
+
+// README ROI semantics → a float box in the ROI's own pixel frame.
+inline void roi_to_float_box(const RoiMessage& roi, bool groundtruth,
+                             float& x0, float& x1, float& y0, float& y1) {
   if (groundtruth) {
     // field abuse per README: ycenter carries xmin, xcenter carries xmax
     x0 = roi.ycenter;
@@ -76,17 +90,51 @@ inline Box roi_to_box(const RoiMessage& roi, int frame_w, int frame_h,
     y0 = roi.ycenter - h / 2.0f;
     y1 = roi.ycenter + h / 2.0f;
   }
+}
+
+// Truncate + clamp a float box to frame pixels (data/real.py:203-206
+// convention: integer bounds), keeping at least one pixel so downstream
+// stays finite on degenerate ROIs.
+inline Box clamp_box(float x0, float x1, float y0, float y1, int frame_w,
+                     int frame_h) {
   Box b;
   b.xmin = std::max(static_cast<int>(x0), 0);
   b.ymin = std::max(static_cast<int>(y0), 0);
   b.xmax = std::min(static_cast<int>(x1), frame_w);
   b.ymax = std::min(static_cast<int>(y1), frame_h);
-  // degenerate ROI: keep at least one pixel so downstream stays finite
   if (b.xmax <= b.xmin) b.xmax = std::min(b.xmin + 1, frame_w);
   if (b.ymax <= b.ymin) b.ymax = std::min(b.ymin + 1, frame_h);
   if (b.xmax <= b.xmin) b.xmin = b.xmax - 1;
   if (b.ymax <= b.ymin) b.ymin = b.ymax - 1;
   return b;
+}
+
+}  // namespace detail
+
+// README ROI semantics → a pixel box, clamped to the frame.
+inline Box roi_to_box(const RoiMessage& roi, int frame_w, int frame_h,
+                      bool groundtruth) {
+  float x0, x1, y0, y1;
+  detail::roi_to_float_box(roi, groundtruth, x0, x1, y0, y1);
+  return detail::clamp_box(x0, x1, y0, y1, frame_w, frame_h);
+}
+
+// Reprojecting variant: the ROI arrives in SOURCE-camera pixels (the
+// detector runs on the camera image); map the float box edges through
+// the src→dst intrinsic affine x' = (x − cx_s)·fx_d/fx_s + cx_d before
+// truncation/clamping against the TARGET frame dims.
+inline Box roi_to_box_reprojected(const RoiMessage& roi,
+                                  const Intrinsics& src,
+                                  const Intrinsics& dst, int dst_w,
+                                  int dst_h, bool groundtruth) {
+  float x0, x1, y0, y1;
+  detail::roi_to_float_box(roi, groundtruth, x0, x1, y0, y1);
+  const float sx = dst.fx / src.fx, sy = dst.fy / src.fy;
+  x0 = (x0 - src.cx) * sx + dst.cx;
+  x1 = (x1 - src.cx) * sx + dst.cx;
+  y0 = (y0 - src.cy) * sy + dst.cy;
+  y1 = (y1 - src.cy) * sy + dst.cy;
+  return detail::clamp_box(x0, x1, y0, y1, dst_w, dst_h);
 }
 
 struct CropResult {
@@ -145,13 +193,18 @@ inline Tap axis_tap(int o, float scale, float translate, float box_len,
 
 }  // namespace detail
 
-// Crop `box` out of the full frame, decimate into the context budget,
-// resize-with-pad to out_size, and compute the bb conditioning.
-// `frame` is H x W x 3 RGB; (px, py) is the camera principal point.
-inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
-                                  int frame_h, const Box& box, float px,
-                                  float py, int out_size = 224,
-                                  int context_size = 672) {
+namespace detail {
+
+// Shared crop core: `sample(x, y, rgb)` yields the (virtual) frame's
+// uint8 pixel at integer frame coords — a direct read for the plain
+// path, a bilinear intrinsic remap for the reprojected path. Decimation
+// is point sampling at the box's dst-grid pixels either way, so the two
+// paths share everything from the context buffer on. (px, py) is the
+// principal point of the frame the box lives in.
+template <typename Sampler>
+inline CropResult crop_and_encode_impl(Sampler&& sample, const Box& box,
+                                       float px, float py, int out_size,
+                                       int context_size) {
   const int w = box.width(), h = box.height();
   // integer decimation factor (data/real.py:218: ceil(max(w,h)/S))
   const int f = std::max((std::max(w, h) + context_size - 1) / context_size, 1);
@@ -164,11 +217,7 @@ inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
     const int sy = box.ymin + y * f;
     for (int x = 0; x < w_dec; ++x) {
       const int sx = box.xmin + x * f;
-      const size_t src = (static_cast<size_t>(sy) * frame_w + sx) * 3;
-      const size_t dst = (static_cast<size_t>(y) * w_dec + x) * 3;
-      dec[dst + 0] = frame[src + 0];
-      dec[dst + 1] = frame[src + 1];
-      dec[dst + 2] = frame[src + 2];
+      sample(sx, sy, &dec[(static_cast<size_t>(y) * w_dec + x) * 3]);
     }
   }
 
@@ -221,6 +270,66 @@ inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
   res.bb[1] = cy / py - 1.0f;
   res.bb[2] = scale_ctx / static_cast<float>(f);
   return res;
+}
+
+}  // namespace detail
+
+// Crop `box` out of the full frame, decimate into the context budget,
+// resize-with-pad to out_size, and compute the bb conditioning.
+// `frame` is H x W x 3 RGB; (px, py) is the camera principal point.
+inline CropResult crop_and_encode(const uint8_t* frame, int frame_w,
+                                  int frame_h, const Box& box, float px,
+                                  float py, int out_size = 224,
+                                  int context_size = 672) {
+  (void)frame_h;
+  auto sample = [&](int x, int y, uint8_t* rgb) {
+    const size_t src = (static_cast<size_t>(y) * frame_w + x) * 3;
+    rgb[0] = frame[src + 0];
+    rgb[1] = frame[src + 1];
+    rgb[2] = frame[src + 2];
+  };
+  return detail::crop_and_encode_impl(sample, box, px, py, out_size,
+                                      context_size);
+}
+
+// Reprojecting variant (the README client's `reproject` option): `box`
+// is in the TARGET intrinsics' pixel frame (roi_to_box_reprojected);
+// each target pixel bilinearly samples the source frame through the
+// inverse intrinsic affine, pixels that map outside the source read 0
+// (constant black border), and the bb conditioning uses the TARGET
+// principal point — the served crop is exactly what a camera with
+// intrinsics `dst` would have seen.
+inline CropResult crop_and_encode_reprojected(
+    const uint8_t* frame, int src_w, int src_h, const Box& box,
+    const Intrinsics& src, const Intrinsics& dst, int out_size = 224,
+    int context_size = 672) {
+  const float sx = src.fx / dst.fx, sy = src.fy / dst.fy;
+  auto sample = [&](int x, int y, uint8_t* rgb) {
+    // pixel centers: dst index x covers continuous coord x + 0.5
+    const float us = (static_cast<float>(x) + 0.5f - dst.cx) * sx +
+                     src.cx - 0.5f;
+    const float vs = (static_cast<float>(y) + 0.5f - dst.cy) * sy +
+                     src.cy - 0.5f;
+    const int x0 = static_cast<int>(std::floor(us));
+    const int y0 = static_cast<int>(std::floor(vs));
+    const float ax = us - static_cast<float>(x0);
+    const float ay = vs - static_cast<float>(y0);
+    auto at = [&](int yy, int xx, int c) -> float {
+      if (xx < 0 || yy < 0 || xx >= src_w || yy >= src_h) return 0.0f;
+      return static_cast<float>(
+          frame[(static_cast<size_t>(yy) * src_w + xx) * 3 + c]);
+    };
+    for (int c = 0; c < 3; ++c) {
+      const float v = (1.0f - ay) * ((1.0f - ax) * at(y0, x0, c) +
+                                     ax * at(y0, x0 + 1, c)) +
+                      ay * ((1.0f - ax) * at(y0 + 1, x0, c) +
+                            ax * at(y0 + 1, x0 + 1, c));
+      rgb[c] = static_cast<uint8_t>(
+          std::min(std::max(v, 0.0f), 255.0f));  // truncation, as uint8 cast
+    }
+  };
+  return detail::crop_and_encode_impl(sample, box, dst.cx, dst.cy, out_size,
+                                      context_size);
 }
 
 }  // namespace airpose

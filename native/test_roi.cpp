@@ -72,6 +72,47 @@ int main() {
   assert(close(r2.bb[2], scale_ctx / f));
   assert(r2.rgb[(size_t(112) * 224 + 112) * 3] >= 122);
 
+  // --- reprojection (README one_robot.launch `reproject` option) ---
+
+  // identity intrinsics: the reprojected path must equal the plain path
+  // bit-for-bit (the affine is exact on integer pixel centers, so every
+  // bilinear weight collapses to 1·pixel)
+  {
+    const Intrinsics K{800.f, 800.f, 100.f, 50.f};
+    RoiMessage roi{10.f, 90.f, 180.f, 20.f};  // gt: x[20,180] y[10,90]
+    Box pb = roi_to_box(roi, W, H, true);
+    Box rb = roi_to_box_reprojected(roi, K, K, W, H, true);
+    assert(pb.xmin == rb.xmin && pb.xmax == rb.xmax && pb.ymin == rb.ymin &&
+           pb.ymax == rb.ymax);
+    std::vector<uint8_t> img(size_t(W) * H * 3);
+    for (size_t i = 0; i < img.size(); ++i)
+      img[i] = static_cast<uint8_t>((i * 31) % 251);
+    CropResult plain = crop_and_encode(img.data(), W, H, pb, K.cx, K.cy);
+    CropResult rep =
+        crop_and_encode_reprojected(img.data(), W, H, rb, K, K);
+    assert(plain.rgb == rep.rgb);
+    for (int i = 0; i < 3; ++i) assert(close(plain.bb[i], rep.bb[i]));
+  }
+
+  // focal change: halving the focal halves the box extent around the
+  // principal point, and bb conditions on the TARGET principal point
+  {
+    const Intrinsics src{800.f, 800.f, 100.f, 50.f};
+    const Intrinsics dst{400.f, 400.f, 80.f, 40.f};
+    RoiMessage roi{10.f, 90.f, 180.f, 20.f};  // src box x[20,180] y[10,90]
+    Box rb = roi_to_box_reprojected(roi, src, dst, 160, 80, true);
+    // x: (20-100)*0.5+80 = 40, (180-100)*0.5+80 = 120
+    // y: (10-50)*0.5+40 = 20, (90-50)*0.5+40 = 60
+    assert(rb.xmin == 40 && rb.xmax == 120 && rb.ymin == 20 && rb.ymax == 60);
+    std::vector<uint8_t> img(size_t(W) * H * 3, 77);
+    CropResult rep =
+        crop_and_encode_reprojected(img.data(), W, H, rb, src, dst);
+    assert(close(rep.bb[0], 80.0f / dst.cx - 1.0f));
+    assert(close(rep.bb[1], 40.0f / dst.cy - 1.0f));
+    // constant image stays constant through the bilinear remap (interior)
+    assert(rep.rgb[(size_t(112) * 224 + 112) * 3] >= 76);
+  }
+
   std::printf("roi tests OK\n");
   return 0;
 }

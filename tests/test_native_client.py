@@ -104,6 +104,97 @@ def test_roi_crop_matches_python_pipeline(box, context_size, frame_wh):
     assert (diff == 0).mean() > 0.9
 
 
+def _reproject_frame_numpy(frame, src, dst, dst_w, dst_h):
+    """Oracle for the client's intrinsic reprojection (airpose_roi.hpp
+    crop_and_encode_reprojected): every target pixel bilinearly samples
+    the source frame through the inverse affine, zero outside. float32
+    arithmetic to mirror the C++."""
+    sfx, sfy, scx, scy = (np.float32(v) for v in src)
+    dfx, dfy, dcx, dcy = (np.float32(v) for v in dst)
+    ys, xs = np.meshgrid(np.arange(dst_h, dtype=np.float32),
+                         np.arange(dst_w, dtype=np.float32), indexing="ij")
+    us = (xs + np.float32(0.5) - dcx) * (sfx / dfx) + scx - np.float32(0.5)
+    vs = (ys + np.float32(0.5) - dcy) * (sfy / dfy) + scy - np.float32(0.5)
+    x0 = np.floor(us).astype(np.int64)
+    y0 = np.floor(vs).astype(np.int64)
+    ax = (us - x0.astype(np.float32))[..., None]
+    ay = (vs - y0.astype(np.float32))[..., None]
+    H, W = frame.shape[:2]
+
+    def at(yy, xx):
+        valid = (xx >= 0) & (xx < W) & (yy >= 0) & (yy < H)
+        out = np.zeros((*xx.shape, 3), np.float32)
+        out[valid] = frame[yy[valid], xx[valid]].astype(np.float32)
+        return out
+
+    v = ((1 - ay) * ((1 - ax) * at(y0, x0) + ax * at(y0, x0 + 1))
+         + ay * ((1 - ax) * at(y0 + 1, x0) + ax * at(y0 + 1, x0 + 1)))
+    return np.clip(v, 0, 255).astype(np.uint8)  # truncation, as the C++ cast
+
+
+def _map_box_numpy(box, src, dst, dst_w, dst_h):
+    """roi_to_box_reprojected's affine + truncate/clamp, in float32."""
+    xmin, ymin, xmax, ymax = (np.float32(v) for v in box)
+    sfx, sfy, scx, scy = (np.float32(v) for v in src)
+    dfx, dfy, dcx, dcy = (np.float32(v) for v in dst)
+    x0 = (xmin - scx) * (dfx / sfx) + dcx
+    x1 = (xmax - scx) * (dfx / sfx) + dcx
+    y0 = (ymin - scy) * (dfy / sfy) + dcy
+    y1 = (ymax - scy) * (dfy / sfy) + dcy
+    return (max(int(x0), 0), max(int(y0), 0),
+            min(int(x1), dst_w), min(int(y1), dst_h))
+
+
+@pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
+@pytest.mark.parametrize("dst_K,dst_wh,context_size", [
+    # focal + principal-point change, different target frame size, f = 1
+    ((320.0, 300.0, 140.0, 120.0), (352, 256), 672),
+    # target focal upscale pushes the mapped box past the context budget
+    # → the decimation path runs on the reprojected grid (f = 2)
+    ((900.0, 880.0, 260.0, 200.0), (520, 400), 128),
+])
+def test_roi_reproject_matches_numpy_oracle(dst_K, dst_wh, context_size):
+    """The client's --reproject path (reference one_robot.launch
+    `reproject` option: resample to the canonical training intrinsics)
+    must equal remap-then-standard-pipeline: a numpy bilinear remap of the
+    frame to the target intrinsics, the ROI box mapped through the same
+    affine, then the SAME offline crop/bb pipeline on the virtual frame
+    with the TARGET principal point."""
+    rng = np.random.default_rng(11)
+    W, H = 320, 240
+    src_K = (400.0, 410.0, 150.0, 110.0)
+    frame = rng.integers(0, 256, (H, W, 3), dtype=np.uint8)
+    box_src = (40, 30, 200, 107)
+    dst_w, dst_h = dst_wh
+
+    xmin, ymin, xmax, ymax = box_src
+    roi = np.asarray([ymin, ymax, xmax, xmin], np.float32)  # gt field abuse
+    payload = roi.tobytes() + frame.tobytes()
+    proc = subprocess.run(
+        [ROI_TOOL, str(W), str(H), "0", "0", "1", str(context_size)]
+        + [str(v) for v in src_K] + [str(v) for v in dst_K]
+        + [str(dst_w), str(dst_h)],
+        input=payload, capture_output=True, check=True,
+    )
+    out = proc.stdout
+    bb_cpp = np.frombuffer(out[:12], np.float32)
+    img_cpp = np.frombuffer(out[12:], np.uint8).reshape(224, 224, 3)
+
+    virt = _reproject_frame_numpy(frame, src_K, dst_K, dst_w, dst_h)
+    box_dst = _map_box_numpy(box_src, src_K, dst_K, dst_w, dst_h)
+    assert box_dst[2] > box_dst[0] and box_dst[3] > box_dst[1]
+    img_ref, bb_ref = _python_reference_crop(virt, box_dst,
+                                             (dst_K[2], dst_K[3]),
+                                             context_size)
+    np.testing.assert_allclose(bb_cpp, bb_ref, atol=1e-5)
+    diff = np.abs(img_cpp.astype(np.int16) - img_ref.astype(np.int16))
+    # the extra bilinear stage can flip a dec-buffer uint8 by 1, which the
+    # resize then carries — allow 2 steps, overwhelmingly exact
+    assert diff.max() <= 2, (diff.max(), (diff > 2).sum())
+    assert (diff <= 1).mean() > 0.99
+    assert (diff == 0).mean() > 0.8
+
+
 @pytest.mark.skipif(not _ensure_client_built(), reason="native client not buildable")
 def test_benchtest_native_roi_replay(tmp_path):
     """The complete reference rosbag-replay analog: FULL frames + ROI
