@@ -270,7 +270,9 @@ def test_cpp_clients_two_server_sync():
     time.sleep(1.0)
 
     # client 1 exercises the full ROI path (full frames + ROI on stdin,
-    # the reference client's actual role); client 2 stays in fake mode
+    # the reference client's actual role) WITH --reproject — the live
+    # regression net over the intrinsics-resample leg (numeric parity is
+    # test_roi_reproject_matches_numpy_oracle); client 2 stays in fake mode
     n_frames = 3
     W, H = 96, 72
     rng = np.random.default_rng(3)
@@ -284,7 +286,10 @@ def test_cpp_clients_two_server_sync():
             [CLIENT, "--host", "127.0.0.1", "--port", str(ports[v]),
              "--robot-id", str(v + 1), "--frames", str(n_frames), "--fps", "4"]
             + (["--mode", "roi", "--img-w", str(W), "--img-h", str(H),
-                "--px", "48", "--py", "36", "--roi-groundtruth"]
+                "--px", "48", "--py", "36", "--roi-groundtruth",
+                "--reproject", "--src-fx", "80", "--src-fy", "80",
+                "--dst-fx", "64", "--dst-fy", "64",
+                "--dst-w", "80", "--dst-h", "60"]
                if v == 0 else []),
             stdin=subprocess.PIPE if v == 0 else None,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=False,
