@@ -7,19 +7,26 @@ Two modes, mirroring the reference script's two halves:
   (ref copenet_data_hdf5.py:1-35).
 * ``--real``: packs a real DJI capture + an AirPose results pkl into the
   flat layout the reference exports "for Julia"
-  (ref copenet_data_hdf5.py:38-109): per-split 2D keypoints per view
-  (``joints2d_{split}_gt{0,1}``), SMPL-wrt-camera 4×4 poses built from the
-  predicted root orientation/translation (``smpl_wrt_cam{0,1}_{split}``),
-  and the frame paths (``im{0,1}_{split}``). The reference script's
-  copy-paste slips (test translations taken from the train split, test
-  rotmats for cam1 taken from cam0's train split) are NOT replicated —
-  each split/camera uses its own predictions.
+  (ref copenet_data_hdf5.py:38-109): per-split 2D keypoints per camera
+  (``joints2d_{split}_gt{0,1}``, each (N, 2, 24, 3) stacked
+  [openpose, alphapose] as the reference's ``get_j2d_only`` concat),
+  SMPL-wrt-camera 4×4 poses built from the predicted root
+  orientation/translation (``smpl_wrt_cam{0,1}_{split}``), and the frame
+  paths (``im{0,1}_{split}``). The reference script's copy-paste slips
+  (test translations taken from the train split, test rotmats for cam1
+  taken from cam0's train split) are NOT replicated — each split/camera
+  uses its own predictions. ``--splits`` must name the splits of the
+  compile_results run that produced the pkl, in the same order (that
+  CLI's default is a single ``test`` split; pass ``--splits test train``
+  for a ``--split test train`` run), and ``--first_cam`` must match the
+  compile run's camera pinning so predictions pair with the right
+  machine's keypoints/frames.
 
 Usage:
   python -m airpose_tpu.tools.to_hdf5 --datapath DIR --split train --out f.h5
   python -m airpose_tpu.tools.to_hdf5 --real --datapath CAPTURE \\
       --outputs_pkl results.pkl --out f.h5 [--splits test train] \\
-      [--test_frames 8000 15000 --train_frames 0 7000]
+      [--test_frames 8000 15000 --train_frames 0 7000] [--first_cam 0]
 """
 
 import argparse
@@ -69,10 +76,11 @@ def _smpl_wrt_cam(split_outputs, view: int) -> np.ndarray:
 
 
 def export_real(datapath: str, outputs_pkl: str, out_path: str,
-                splits, frame_ranges) -> int:
+                splits, frame_ranges, first_cam: int = 0) -> int:
     """Real-capture export: keypoints + predicted SMPL poses + frame paths
-    per split. ``splits`` must match the outputs pkl's split order (the
-    compile_results CLI default is [test, train])."""
+    per split. ``splits`` must match the outputs pkl's split order and
+    ``first_cam`` the compile run's camera pinning (with ``first_cam=1``
+    prediction view 0 is machine_2, so cam keys pair machine-wise)."""
     import h5py
 
     from ..data.real import CopenetRealDataset
@@ -82,8 +90,11 @@ def export_real(datapath: str, outputs_pkl: str, out_path: str,
     if len(per_split) != len(splits):
         raise SystemExit(
             f"outputs pkl has {len(per_split)} splits, --splits names "
-            f"{len(splits)} — they must correspond in order")
+            f"{len(splits)} — they must correspond in order (name the "
+            f"compile_results run's --split values)")
 
+    # prediction-view → machine index (data/real.py host_batch view order)
+    order = (1, 0) if first_cam == 1 else (0, 1)
     n_total = 0
     with h5py.File(out_path, "w") as h5:
         for split, split_outputs in zip(splits, per_split):
@@ -95,16 +106,21 @@ def export_real(datapath: str, outputs_pkl: str, out_path: str,
             if n < max(len(ds), n_pred):
                 print(f"WARNING {split}: {len(ds)} frames vs {n_pred} "
                       f"predictions — exporting the common first {n}")
-            for v in (0, 1):
+            for m in (0, 1):  # cam key m == machine_{m+1}
+                v = order.index(m)  # the prediction view that saw machine m
+                # (N, 2, 24, 3) stacked [openpose, alphapose], the
+                # reference get_j2d_only concat layout
                 kp = np.stack(
-                    [ds.keypoints(i)["openpose"][v] for i in range(n)])
-                h5.create_dataset(f"joints2d_{split}_gt{v}", data=kp)
+                    [np.stack([ds.keypoints(i)["openpose"][m],
+                               ds.keypoints(i)["alphapose"][m]])
+                     for i in range(n)])
+                h5.create_dataset(f"joints2d_{split}_gt{m}", data=kp)
                 h5.create_dataset(
-                    f"smpl_wrt_cam{v}_{split}",
+                    f"smpl_wrt_cam{m}_{split}",
                     data=_smpl_wrt_cam(split_outputs, v)[:n])
-                paths = [ds.image_paths[v][i].encode("ascii", "ignore")
+                paths = [ds.image_paths[m][i].encode("ascii", "ignore")
                          for i in range(n)]
-                h5.create_dataset(f"im{v}_{split}", data=paths)
+                h5.create_dataset(f"im{m}_{split}", data=paths)
             n_total += n
     return n_total
 
@@ -120,18 +136,30 @@ def main(argv=None):
     p.add_argument("--outputs_pkl", default=None,
                    help="real mode: AirPose results pkl from "
                         "compile_results --datapath real://")
-    p.add_argument("--splits", nargs="+", default=("test", "train"),
-                   help="real mode: split names in the outputs pkl's order")
+    p.add_argument("--splits", nargs="+", default=("test",),
+                   help="real mode: split names in the outputs pkl's order "
+                        "(= the compile_results run's --split values; that "
+                        "CLI's default is one 'test' split)")
     p.add_argument("--train_frames", type=int, nargs=2, default=(0, 7000))
     p.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000))
+    p.add_argument("--first_cam", type=int, default=0, choices=(0, 1),
+                   help="real mode: the compile run's --first_cam, so "
+                        "predictions pair with the right machine")
+    p.add_argument("--platform", default=None, choices=("cpu", "tpu"),
+                   help="pin the jax backend (cpu avoids contending for "
+                        "the TPU while a trainer/server holds it)")
     args = p.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.real:
         if not args.outputs_pkl:
             p.error("--real requires --outputs_pkl")
         ranges = {"train": tuple(args.train_frames),
                   "test": tuple(args.test_frames)}
         n = export_real(args.datapath, args.outputs_pkl, args.out,
-                        tuple(args.splits), ranges)
+                        tuple(args.splits), ranges, first_cam=args.first_cam)
     else:
         n = export_split(args.datapath, args.split, args.out)
     print(f"exported {n} samples to {args.out}")

@@ -584,6 +584,11 @@ def main(argv=None):
             raise SystemExit(
                 "--body_only_verts applies to the supervised vertex loss; "
                 "the real:// self-supervised objective has no vertex term")
+        if sources is not None and "smpl" not in source_loss_kinds:
+            raise SystemExit(
+                "--body_only_verts applies to the supervised vertex loss; "
+                "none of the given sources has a vertex term (joints-only "
+                "GT such as h36m:// uses joints_loss)")
     if real_finetune:
         from ..bodymodel import init_vposer_params, load_vposer_ckpt
         from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
@@ -624,12 +629,12 @@ def main(argv=None):
                 "(use copenet_twoview[_sep] or hmr)"
             )
     elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+        smpl_loss = None if vmask is None else functools.partial(
+            losses.twoview_loss, vertex_mask=vmask)
         if sources is not None:
             # one step-fn pair per loss kind present, dispatched host-side
             # on the batch's source tag — cached jit programs over ONE
             # TrainState (single-source runs dispatch trivially)
-            smpl_loss = None if vmask is None else functools.partial(
-                losses.twoview_loss, vertex_mask=vmask)
             by_kind = {"smpl": make_twoview_step_fns(
                 model, smplx_params, cfg, tx, loss=smpl_loss)}
             if "joints" in source_loss_kinds:
@@ -649,8 +654,6 @@ def main(argv=None):
                 kind = source_loss_kinds[_src(batch)]
                 return by_kind[kind][1](state, batch)
         else:  # synthetic:// supervised path (untagged batches)
-            smpl_loss = None if vmask is None else functools.partial(
-                losses.twoview_loss, vertex_mask=vmask)
             train_step, eval_step = make_twoview_step_fns(
                 model, smplx_params, cfg, tx, loss=smpl_loss)
     elif sources is not None and "joints" in source_loss_kinds:

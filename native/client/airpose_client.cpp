@@ -60,6 +60,7 @@ struct Options {
   int img_h = 1080;
   float px = 960.0f;   // principal point (constants CX/CY defaults)
   float py = 540.0f;
+  bool px_set = false, py_set = false;
   bool roi_groundtruth = false;
   // --reproject (roi mode): resample frames from the camera's native
   // intrinsics (--src-fx/--src-fy + --px/--py) to the canonical
@@ -95,8 +96,8 @@ Options parse(int argc, char** argv) {
     else if (a == "--mode") o.mode = next();
     else if (a == "--img-w") o.img_w = std::atoi(next().c_str());
     else if (a == "--img-h") o.img_h = std::atoi(next().c_str());
-    else if (a == "--px") o.px = std::atof(next().c_str());
-    else if (a == "--py") o.py = std::atof(next().c_str());
+    else if (a == "--px") { o.px = std::atof(next().c_str()); o.px_set = true; }
+    else if (a == "--py") { o.py = std::atof(next().c_str()); o.py_set = true; }
     else if (a == "--roi-groundtruth") o.roi_groundtruth = true;
     else if (a == "--reproject") o.reproject = true;
     else if (a == "--src-fx") o.src_fx = std::atof(next().c_str());
@@ -121,6 +122,13 @@ Options parse(int argc, char** argv) {
     }
     if (o.src_fx <= 0.0f || o.src_fy <= 0.0f) {
       std::fprintf(stderr, "--reproject needs --src-fx/--src-fy > 0\n");
+      std::exit(2);
+    }
+    if (!o.px_set || !o.py_set) {
+      // the 1080p default principal point would silently shift the whole
+      // resample on any other frame size — demand the full source K
+      std::fprintf(stderr,
+                   "--reproject needs the source principal point --px/--py\n");
       std::exit(2);
     }
     if (o.dst_w <= 0) o.dst_w = o.img_w;

@@ -265,12 +265,14 @@ def test_hdf5_real_export(tmp_path):
 
     h5path = str(tmp_path / "real.h5")
     hdf5_main(["--real", "--datapath", cap, "--outputs_pkl", res_pkl,
-               "--out", h5path, "--train_frames", "0", "4",
-               "--test_frames", "4", "6"])
+               "--out", h5path, "--splits", "test", "train",
+               "--train_frames", "0", "4", "--test_frames", "4", "6"])
 
     with h5py.File(h5path) as f:
-        assert f["joints2d_train_gt0"].shape == (4, 24, 3)
-        assert f["joints2d_test_gt1"].shape == (2, 24, 3)
+        # (N, 2, 24, 3): [openpose, alphapose] stacked, the reference
+        # get_j2d_only concat layout
+        assert f["joints2d_train_gt0"].shape == (4, 2, 24, 3)
+        assert f["joints2d_test_gt1"].shape == (2, 2, 24, 3)
         T = f["smpl_wrt_cam1_train"][...]
         assert T.shape == (4, 4, 4)
         np.testing.assert_array_equal(T[:, 3], [[0, 0, 0, 1]] * 4)
@@ -279,5 +281,26 @@ def test_hdf5_real_export(tmp_path):
         np.testing.assert_allclose(T[:, :3, :3], want_rot, atol=1e-6)
         np.testing.assert_allclose(
             T[:, :3, 3], per_split[1][0]["output"]["pred_smpltrans1"])
+        paths = [p.decode() for p in f["im0_test"][...]]
+        assert paths[0].endswith("machine_1/images/000004.jpg")
+
+    # --splits must match the pkl's split count (the compile run's --split)
+    with pytest.raises(SystemExit):
+        hdf5_main(["--real", "--datapath", cap, "--outputs_pkl", res_pkl,
+                   "--out", str(tmp_path / "bad.h5"),
+                   "--train_frames", "0", "4", "--test_frames", "4", "6"])
+
+    # --first_cam 1: prediction view 0 saw machine_2, so cam key 1 pairs
+    # with view-0 predictions (and cam key 0 with view 1)
+    h5flip = str(tmp_path / "real_flip.h5")
+    hdf5_main(["--real", "--datapath", cap, "--outputs_pkl", res_pkl,
+               "--out", h5flip, "--splits", "test", "train",
+               "--train_frames", "0", "4", "--test_frames", "4", "6",
+               "--first_cam", "1"])
+    with h5py.File(h5flip) as f:
+        np.testing.assert_allclose(
+            f["smpl_wrt_cam1_train"][:, :3, 3],
+            per_split[1][0]["output"]["pred_smpltrans0"])
+        # keypoints/paths stay machine-wise regardless of pinning
         paths = [p.decode() for p in f["im0_test"][...]]
         assert paths[0].endswith("machine_1/images/000004.jpg")
