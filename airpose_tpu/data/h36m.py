@@ -136,19 +136,28 @@ class H36MDataset:
                 uv = (jc / np.maximum(jc[:, 2:], 1e-6)) @ K.T
                 out["gt_j2d"][b, v] = uv[:, :2]
 
+                img = decoded.get((b, v))
+                if img is not None:
+                    img = img[:_CROP, :_CROP]
+                # clamp the box to the ACTUAL frame geometry (≤ the
+                # reference's 1000×1000 pre-crop): claiming a box larger
+                # than the decoded content would skew the bb conditioning
+                # and 2D supervision finish_batch derives from it (same
+                # frame-size-aware clamp as data/real.py person_crop_box)
+                fh, fw = (img.shape[:2] if img is not None
+                          else (_CROP, _CROP))
                 xs, ys = uv[:, 0], uv[:, 1]
                 xmin = max(int(xs.min()) - 50, 0)
                 ymin = max(int(ys.min()) - 50, 0)
-                xmax = min(int(xs.max()) + 50, _CROP)
-                ymax = min(int(ys.max()) + 50, _CROP)
+                xmax = min(int(xs.max()) + 50, fw)
+                ymax = min(int(ys.max()) + 50, fh)
                 if xmax <= xmin or ymax <= ymin:  # subject off-frame
-                    xmin, ymin, xmax, ymax = 0, 0, _CROP, _CROP
+                    xmin, ymin, xmax, ymax = 0, 0, fw, fh
                 out["context_origin"][b, v] = (xmin, ymin)
                 out["person_box"][b, v] = (0.0, 0.0, xmax - xmin, ymax - ymin)
                 out["context_extent"][b, v] = (xmax - xmin, ymax - ymin)
-                img = decoded.get((b, v))
                 if img is not None:
-                    crop = img[:_CROP, :_CROP][ymin:ymax, xmin:xmax, ::-1]
+                    crop = img[ymin:ymax, xmin:xmax, ::-1]
                     h, w = crop.shape[:2]
                     fscale = max(-(-max(h, w) // S), 1)
                     if fscale > 1:

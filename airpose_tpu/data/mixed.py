@@ -15,6 +15,14 @@ from typing import Dict, Sequence
 import numpy as np
 
 
+def mixed_draw(rng: np.random.Generator, p_a: float = 0.5) -> int:
+    """The per-batch source draw (0 with probability ``p_a``, else 1) —
+    the ONE definition of the declared mixing semantics. Used both here
+    and by the trainer's source factory (whose sources are finish-batch
+    closures rather than dataset objects)."""
+    return 0 if rng.random() < p_a else 1
+
+
 class MixedDataset:
     def __init__(self, a, b, p_a: float = 0.5):
         self.a, self.b, self.p_a = a, b, float(p_a)
@@ -26,7 +34,7 @@ class MixedDataset:
 
     def host_batch(self, indices: Sequence[int], rng: np.random.Generator,
                    **kwargs) -> Dict:
-        src = self.a if rng.random() < self.p_a else self.b
+        src = (self.a, self.b)[mixed_draw(rng, self.p_a)]
         idx = [i % len(src) for i in indices]
         out = src.host_batch(idx, rng, **kwargs)
         # per-row source tag — keeps the canonical every-array-leads-with-B

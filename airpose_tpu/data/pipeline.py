@@ -154,8 +154,9 @@ class Prefetcher:
     """
 
     def __init__(self, iterator: Iterator = None, sharding=None,
-                 depth: int = 2):
+                 depth: int = 2, host_keys=()):
         self._sharding = sharding
+        self._host_keys = tuple(host_keys)
         self._q: "queue.Queue" = queue.Queue(maxsize=depth)
         self._done = object()
         self._error = None
@@ -168,9 +169,13 @@ class Prefetcher:
 
     @classmethod
     def from_factory(cls, make_batch, num_workers: int = 2, sharding=None,
-                     depth: int = 4) -> "Prefetcher":
+                     depth: int = 4, host_keys=()) -> "Prefetcher":
+        """``host_keys`` names dict-batch entries kept as host numpy arrays
+        (e.g. the ``mixed_source`` dispatch tag): uploading them would force
+        the consumer into a blocking device→host read per batch just to
+        branch on them."""
         self = cls(iterator=None, sharding=sharding,
-                   depth=max(depth, num_workers))
+                   depth=max(depth, num_workers), host_keys=host_keys)
         self._start([make_batch] * num_workers, iterator=None)
         return self
 
@@ -179,12 +184,17 @@ class Prefetcher:
         overwriting the recorded error."""
 
     def _put(self, batch):
+        host = {}
+        if self._host_keys and isinstance(batch, dict):
+            host = {k: batch.pop(k) for k in self._host_keys if k in batch}
         if self._sharding is not None:
             batch = jax.tree.map(
                 lambda x: jax.device_put(x, self._sharding), batch
             )
         else:
             batch = jax.tree.map(jnp.asarray, batch)
+        if host:
+            batch.update(host)
         # Bounded put that respects the stop flag: after one worker errors
         # (or close()), surviving workers must not block forever on a full
         # queue the consumer stopped draining — they would leak, together

@@ -185,9 +185,11 @@ def run_benchtest(
     errors: List[Exception] = []
 
     def _connect(port):
-        # regressor construction (quantization, device init) can outlast
-        # startup_wait — retry until the server binds or provably died
-        deadline = time.time() + 120
+        # regressor construction (int8 trunk quantization, device init,
+        # remote compiles at 30 s–3 min each) can outlast startup_wait —
+        # retry until the server binds or provably died, with the same
+        # generous bound as the post-connect read timeout below
+        deadline = time.time() + 600
         while True:
             try:
                 return socket.create_connection(("127.0.0.1", port), timeout=60)

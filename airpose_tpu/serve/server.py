@@ -287,25 +287,39 @@ class AirPoseServer:
                 f"IMAGE shape {img.shape} differs from this server's "
                 f"pinned shape {self._img_shape}")
 
+        # Device calls run in the default executor, NOT on the event loop:
+        # a relay-attached call is ~30 ms of blocking latency during which
+        # peer step messages must keep draining (a blocked loop delays
+        # _note_peer and turns the peer's wait into false lag-one
+        # degradation), and two co-hosted servers (benchtest, localhost
+        # demos) can overlap their calls instead of serializing the whole
+        # 6-call protocol. self._lock still serializes calls per server
+        # (first-call compile + int8 first-frame calibration mutate the
+        # regressor).
+        loop = asyncio.get_running_loop()
+
         # Round 1: trunk + IEF iter 1 (mean peer), publish step1. The raw
         # uint8 crop goes straight to the device — normalization is fused
         # into the step1 program (4× smaller upload; staged.py).
         async with self._lock:
-            state = self.reg.step1(img[None], bb[None], init_trans[None])
+            state = await loop.run_in_executor(
+                None, self.reg.step1, img[None], bb[None], init_trans[None])
         await self._send_peer(P.MSG_STEP1, frame_id, state_to_wire(state))
 
         # Round 2: peer step1 → iter 2, publish step2.
         art, shape = self._peer_art_shape(
             await self._wait_peer(P.MSG_STEP1, frame_id))
         async with self._lock:
-            state = self.reg.step23(state, bb[None], art[None], shape[None])
+            state = await loop.run_in_executor(
+                None, self.reg.step23, state, bb[None], art[None], shape[None])
         await self._send_peer(P.MSG_STEP2, frame_id, state_to_wire(state))
 
         # Round 3: peer step2 → iter 3, return the 145-float result.
         art, shape = self._peer_art_shape(
             await self._wait_peer(P.MSG_STEP2, frame_id))
         async with self._lock:
-            state = self.reg.step23(state, bb[None], art[None], shape[None])
+            state = await loop.run_in_executor(
+                None, self.reg.step23, state, bb[None], art[None], shape[None])
         writer.write(P.encode_step(P.MSG_RESULT, frame_id, state_to_wire(state)))
         await writer.drain()
         self.frames_served += 1

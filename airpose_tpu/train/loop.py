@@ -19,10 +19,13 @@ from .state import TrainState
 
 
 def _maybe_qat(params, cfg: TrainConfig):
-    """QAT hook shared by all train steps: with cfg.qat the forward (and
-    the gradient's forward pass) sees deployment-fake-quantized trunk conv
-    kernels via the straight-through estimator, while the optimizer keeps
-    updating the latent full-precision weights (ops/qat.py)."""
+    """QAT hook shared by all train AND eval steps: with cfg.qat the
+    forward (and the gradient's forward pass) sees deployment-fake-
+    quantized trunk conv kernels via the straight-through estimator, while
+    the optimizer keeps updating the latent full-precision weights
+    (ops/qat.py). Eval applies the same quantizer so validation — and the
+    best-checkpoint selection driven by it — scores the network that will
+    actually be deployed, not the latent float weights."""
     if not cfg.qat:
         return params
     from ..ops.qat import fake_quant_trunk_params
@@ -124,7 +127,8 @@ def make_twoview_step_fns(model, smplx_params: SMPLXParams, cfg: TrainConfig,
     @jax.jit
     def eval_step(state: TrainState, batch):
         in_trans = _eval_input_trans(batch, cfg)
-        out, _ = forward(state.params, state.batch_stats, batch, in_trans, False, None)
+        out, _ = forward(_maybe_qat(state.params, cfg), state.batch_stats,
+                         batch, in_trans, False, None)
         loss, metrics = loss_from_out(out, batch)
 
         pose = out.pose
@@ -210,7 +214,8 @@ def make_singleview_step_fns(model, smplx_params, cfg: TrainConfig, tx, family: 
     @jax.jit
     def eval_step(state: TrainState, batch):
         in_trans = _eval_input_trans(batch, cfg)
-        out, _ = apply_model(state.params, state.batch_stats, batch, in_trans, False, None)
+        out, _ = apply_model(_maybe_qat(state.params, cfg), state.batch_stats,
+                             batch, in_trans, False, None)
         loss, metrics = loss_from_out(out, batch)
         return metrics, out
 
@@ -269,7 +274,8 @@ def make_real_twoview_step_fns(
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        out, _ = forward(state.params, state.batch_stats, batch, False, None)
+        out, _ = forward(_maybe_qat(state.params, cfg), state.batch_stats,
+                         batch, False, None)
         loss, metrics = L.real_twoview_loss(
             out.pose, out.betas, batch, smplx_params, vposer_params,
             cfg.real_loss, jax.random.PRNGKey(0), cfg.trans_scale,
@@ -326,7 +332,7 @@ def make_real_singleview_step_fns(
 
     @jax.jit
     def eval_step(state: TrainState, batch):
-        out, _ = apply_model(state.params, state.batch_stats,
+        out, _ = apply_model(_maybe_qat(state.params, cfg), state.batch_stats,
                              batch["images"][:, 0], False, None)
         loss, metrics = L.real_singleview_loss(
             out.pose6d, out.betas, out.cam, batch, smplx_params,

@@ -250,6 +250,10 @@ def _twoview_summary(smplx_params, batch, preds, real: bool, trans_scale):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.qat_act and not args.qat:
+        raise SystemExit(
+            "--qat_act extends --qat with activation fake-quant; an "
+            "activations-only configuration is undefined (pass --qat too)")
 
     import jax
 
@@ -525,8 +529,9 @@ def main(argv=None):
                         jax.random.PRNGKey(cfg.seed + 1000 + wid),
                     ]
                 st = worker_state[wid]
-                s = (0 if len(sources) == 1
-                     else int(st[0].random() < 0.5))  # the 50/50 draw
+                from ..data.mixed import mixed_draw
+
+                s = 0 if len(sources) == 1 else mixed_draw(st[0])
                 fin_train, n_tr = sources[s][0], sources[s][1]
                 idx = st[0].integers(0, n_tr, size=cfg.batch_size)
                 st[1], sub = jax.random.split(st[1])
@@ -534,8 +539,12 @@ def main(argv=None):
                 b["mixed_source"] = np.full(cfg.batch_size, s, np.int32)
                 return b
 
+            # the dispatch tag stays host-side: the step dispatcher reads
+            # it every step, and a device tag would cost a blocking
+            # device→host transfer per step (~30 ms on the relay)
             return Prefetcher.from_factory(
-                make_batch, num_workers=max(1, args.data_workers))
+                make_batch, num_workers=max(1, args.data_workers),
+                host_keys=("mixed_source",))
 
         def val_batches():
             rng_np = np.random.default_rng(cfg.seed)
@@ -554,280 +563,297 @@ def main(argv=None):
     model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16,
                       act_fq=cfg.qat_levels if cfg.qat_act else None)
     it = train_batches()  # one iterator: shared by init probe and the loop
-    sample = next(it)
-    B = sample["images"].shape[0]
-    in_trans = jnp.full((B, 2, 3), 0.5)
-    if cfg.model == "hmr":
-        init_args = (jnp.asarray(sample["images"][:, 0]),)
-    elif cfg.model == "copenet_singleview":
-        init_args = (jnp.asarray(sample["images"][:, 0]),
-                     jnp.asarray(sample["bb"][:, 0]), in_trans[:, 0])
-    elif cfg.model == "muhmr":
-        init_args = (jnp.asarray(sample["images"]),)
-    else:
-        init_args = (jnp.asarray(sample["images"]),
-                     jnp.asarray(sample["bb"]), in_trans)
+    # Everything below consumes `it`; the finally closes a Prefetcher's
+    # daemon workers (they park forever in the bounded put otherwise —
+    # in-process callers like the dress rehearsal would leak them plus
+    # their queued device-resident batches on every train run).
+    try:
+        sample = next(it)
+        B = sample["images"].shape[0]
+        in_trans = jnp.full((B, 2, 3), 0.5)
+        if cfg.model == "hmr":
+            init_args = (jnp.asarray(sample["images"][:, 0]),)
+        elif cfg.model == "copenet_singleview":
+            init_args = (jnp.asarray(sample["images"][:, 0]),
+                         jnp.asarray(sample["bb"][:, 0]), in_trans[:, 0])
+        elif cfg.model == "muhmr":
+            init_args = (jnp.asarray(sample["images"]),)
+        else:
+            init_args = (jnp.asarray(sample["images"]),
+                         jnp.asarray(sample["bb"]), in_trans)
 
-    state, tx = create_train_state(
-        model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
-        train_reg_only=cfg.train_reg_only,
-    )
-    vmask = None
-    if args.body_only_verts:
-        from ..bodymodel.vertex_ids import load_body_vertex_mask
+        state, tx = create_train_state(
+            model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
+            train_reg_only=cfg.train_reg_only,
+        )
+        vmask = None
+        if args.body_only_verts:
+            from ..bodymodel.vertex_ids import load_body_vertex_mask
 
-        vmask = jnp.asarray(load_body_vertex_mask(
-            args.body_only_verts, smplx_params.v_template.shape[0]))
-        print(f"body-only vertex loss: {int((vmask == 0).sum())} hand/face "
-              f"vertices masked of {vmask.shape[0]}")
+            vmask = jnp.asarray(load_body_vertex_mask(
+                args.body_only_verts, smplx_params.v_template.shape[0]))
+            print(f"body-only vertex loss: {int((vmask == 0).sum())} hand/face "
+                  f"vertices masked of {vmask.shape[0]}")
+            if real_finetune:
+                raise SystemExit(
+                    "--body_only_verts applies to the supervised vertex loss; "
+                    "the real:// self-supervised objective has no vertex term")
+            if sources is not None and "smpl" not in source_loss_kinds:
+                raise SystemExit(
+                    "--body_only_verts applies to the supervised vertex loss; "
+                    "none of the given sources has a vertex term (joints-only "
+                    "GT such as h36m:// uses joints_loss)")
         if real_finetune:
+            from ..bodymodel import init_vposer_params, load_vposer_ckpt
+            from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
+
+            if args.vposer_ckpt:
+                vposer_params = load_vposer_ckpt(args.vposer_ckpt)
+                print(f"loaded VPoser prior from {args.vposer_ckpt}")
+            else:
+                # A randomly-initialized VAE is NOT a pose prior — fine-tuning
+                # against it regularizes toward noise. Kept only so tests and
+                # smoke runs work without the released weights.
+                print("WARNING: no --vposer_ckpt given; using a RANDOM VPoser "
+                      "prior. Real fine-tuning results will be meaningless — "
+                      "pass the released V02_05 snapshot for the reference's "
+                      "self-supervised objective.", flush=True)
+                vposer_params = init_vposer_params(cfg.seed)
+            if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+                train_step, eval_step = make_real_twoview_step_fns(
+                    model, smplx_params, vposer_params, cfg, tx
+                )
+            elif cfg.model == "hmr":
+                # the real trainer's --model=hmr alias is the camera-swapped
+                # variant (ref copenet_real/copenet_trainer.py:32-38): the view
+                # alternates per step (the "camswap" training regime)
+                _step, eval_step = make_real_singleview_step_fns(
+                    model, smplx_params, vposer_params, cfg, tx,
+                    "hmr_camswap_difffl",
+                )
+                _counter = [0]
+
+                def train_step(state, batch, key):
+                    view = _counter[0] % 2
+                    _counter[0] += 1
+                    return _step(state, batch, key, view)
+            else:
+                raise SystemExit(
+                    f"--model {cfg.model} has no real:// fine-tune path "
+                    "(use copenet_twoview[_sep] or hmr)"
+                )
+        elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
+            smpl_loss = None if vmask is None else functools.partial(
+                losses.twoview_loss, vertex_mask=vmask)
+            if sources is not None:
+                # one step-fn pair per loss kind present, dispatched host-side
+                # on the batch's source tag — cached jit programs over ONE
+                # TrainState (single-source runs dispatch trivially)
+                by_kind = {"smpl": make_twoview_step_fns(
+                    model, smplx_params, cfg, tx, loss=smpl_loss)}
+                if "joints" in source_loss_kinds:
+                    from .losses import joints_loss
+
+                    by_kind["joints"] = make_twoview_step_fns(
+                        model, smplx_params, cfg, tx, loss=joints_loss)
+
+                def _src(batch):
+                    return int(np.asarray(batch.pop("mixed_source"))[0])
+
+                def train_step(state, batch, key):
+                    kind = source_loss_kinds[_src(batch)]
+                    return by_kind[kind][0](state, batch, key)
+
+                def eval_step(state, batch):
+                    kind = source_loss_kinds[_src(batch)]
+                    return by_kind[kind][1](state, batch)
+            else:  # synthetic:// supervised path (untagged batches)
+                train_step, eval_step = make_twoview_step_fns(
+                    model, smplx_params, cfg, tx, loss=smpl_loss)
+        elif sources is not None and "joints" in source_loss_kinds:
             raise SystemExit(
-                "--body_only_verts applies to the supervised vertex loss; "
-                "the real:// self-supervised objective has no vertex term")
-        if sources is not None and "smpl" not in source_loss_kinds:
-            raise SystemExit(
-                "--body_only_verts applies to the supervised vertex loss; "
-                "none of the given sources has a vertex term (joints-only "
-                "GT such as h36m:// uses joints_loss)")
-    if real_finetune:
-        from ..bodymodel import init_vposer_params, load_vposer_ckpt
-        from .loop import make_real_singleview_step_fns, make_real_twoview_step_fns
-
-        if args.vposer_ckpt:
-            vposer_params = load_vposer_ckpt(args.vposer_ckpt)
-            print(f"loaded VPoser prior from {args.vposer_ckpt}")
-        else:
-            # A randomly-initialized VAE is NOT a pose prior — fine-tuning
-            # against it regularizes toward noise. Kept only so tests and
-            # smoke runs work without the released weights.
-            print("WARNING: no --vposer_ckpt given; using a RANDOM VPoser "
-                  "prior. Real fine-tuning results will be meaningless — "
-                  "pass the released V02_05 snapshot for the reference's "
-                  "self-supervised objective.", flush=True)
-            vposer_params = init_vposer_params(cfg.seed)
-        if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
-            train_step, eval_step = make_real_twoview_step_fns(
-                model, smplx_params, vposer_params, cfg, tx
+                f"--model {cfg.model} has no joints-GT path "
+                "(use copenet_twoview[_sep])"
             )
-        elif cfg.model == "hmr":
-            # the real trainer's --model=hmr alias is the camera-swapped
-            # variant (ref copenet_real/copenet_trainer.py:32-38): the view
-            # alternates per step (the "camswap" training regime)
-            _step, eval_step = make_real_singleview_step_fns(
-                model, smplx_params, vposer_params, cfg, tx,
-                "hmr_camswap_difffl",
-            )
-            _counter = [0]
-
-            def train_step(state, batch, key):
-                view = _counter[0] % 2
-                _counter[0] += 1
-                return _step(state, batch, key, view)
         else:
-            raise SystemExit(
-                f"--model {cfg.model} has no real:// fine-tune path "
-                "(use copenet_twoview[_sep] or hmr)"
+            base_train, base_eval = make_singleview_step_fns(
+                model, smplx_params, cfg, tx, cfg.model, vertex_mask=vmask
             )
-    elif cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
-        smpl_loss = None if vmask is None else functools.partial(
-            losses.twoview_loss, vertex_mask=vmask)
-        if sources is not None:
-            # one step-fn pair per loss kind present, dispatched host-side
-            # on the batch's source tag — cached jit programs over ONE
-            # TrainState (single-source runs dispatch trivially)
-            by_kind = {"smpl": make_twoview_step_fns(
-                model, smplx_params, cfg, tx, loss=smpl_loss)}
-            if "joints" in source_loss_kinds:
-                from .losses import joints_loss
+            if sources is not None:  # on-disk batches carry the source tag
 
-                by_kind["joints"] = make_twoview_step_fns(
-                    model, smplx_params, cfg, tx, loss=joints_loss)
+                def train_step(state, batch, key):
+                    batch.pop("mixed_source")
+                    return base_train(state, batch, key)
 
-            def _src(batch):
-                return int(np.asarray(batch.pop("mixed_source"))[0])
+                def eval_step(state, batch):
+                    batch.pop("mixed_source")
+                    return base_eval(state, batch)
+            else:
+                train_step, eval_step = base_train, base_eval
 
-            def train_step(state, batch, key):
-                kind = source_loss_kinds[_src(batch)]
-                return by_kind[kind][0](state, batch, key)
+        # ---- checkpoints: resume or warm start ----
+        ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+        if args.imagenet_ckpt:
+            from .checkpoint import load_imagenet_resnet50, warm_start_trunks
 
-            def eval_step(state, batch):
-                kind = source_loss_kinds[_src(batch)]
-                return by_kind[kind][1](state, batch)
-        else:  # synthetic:// supervised path (untagged batches)
-            train_step, eval_step = make_twoview_step_fns(
-                model, smplx_params, cfg, tx, loss=smpl_loss)
-    elif sources is not None and "joints" in source_loss_kinds:
-        raise SystemExit(
-            f"--model {cfg.model} has no joints-GT path "
-            "(use copenet_twoview[_sep])"
+            trunk = load_imagenet_resnet50(args.imagenet_ckpt)
+            p, bs = warm_start_trunks(
+                state.params, state.batch_stats, trunk, cfg.model)
+            state = state.replace(params=p, batch_stats=bs)
+            print(f"warm-started trunk(s) from {args.imagenet_ckpt}")
+        if args.pretrained_checkpoint:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(args.pretrained_checkpoint), state
+            )
+            # warm start: take params + batch stats, keep a fresh step counter
+            # and optimizer state (the objective may differ — fine-tune)
+            state = state.replace(
+                params=restored.params, batch_stats=restored.batch_stats
+            )
+        state = ckpts.auto_resume(state)
+        start_step = int(jax.device_get(state.step))
+
+        # ---- mesh (data parallel when >1 device) ----
+        devices = jax.devices()
+        # use the largest device count that divides the batch (GSPMD needs the
+        # sharded dim divisible by the mesh size)
+        n_dev = next(
+            (d for d in range(min(len(devices), cfg.batch_size), 0, -1)
+             if cfg.batch_size % d == 0 and cfg.val_batch_size % d == 0),
+            1,
         )
-    else:
-        base_train, base_eval = make_singleview_step_fns(
-            model, smplx_params, cfg, tx, cfg.model, vertex_mask=vmask
-        )
-        if sources is not None:  # on-disk batches carry the source tag
-
-            def train_step(state, batch, key):
-                batch.pop("mixed_source")
-                return base_train(state, batch, key)
-
-            def eval_step(state, batch):
-                batch.pop("mixed_source")
-                return base_eval(state, batch)
-        else:
-            train_step, eval_step = base_train, base_eval
-
-    # ---- checkpoints: resume or warm start ----
-    ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-    if args.imagenet_ckpt:
-        from .checkpoint import load_imagenet_resnet50, warm_start_trunks
-
-        trunk = load_imagenet_resnet50(args.imagenet_ckpt)
-        p, bs = warm_start_trunks(
-            state.params, state.batch_stats, trunk, cfg.model)
-        state = state.replace(params=p, batch_stats=bs)
-        print(f"warm-started trunk(s) from {args.imagenet_ckpt}")
-    if args.pretrained_checkpoint:
-        import orbax.checkpoint as ocp
-
-        restored = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.pretrained_checkpoint), state
-        )
-        # warm start: take params + batch stats, keep a fresh step counter
-        # and optimizer state (the objective may differ — fine-tune)
-        state = state.replace(
-            params=restored.params, batch_stats=restored.batch_stats
-        )
-    state = ckpts.auto_resume(state)
-    start_step = int(jax.device_get(state.step))
-
-    # ---- mesh (data parallel when >1 device) ----
-    devices = jax.devices()
-    # use the largest device count that divides the batch (GSPMD needs the
-    # sharded dim divisible by the mesh size)
-    n_dev = next(
-        (d for d in range(min(len(devices), cfg.batch_size), 0, -1)
-         if cfg.batch_size % d == 0 and cfg.val_batch_size % d == 0),
-        1,
-    )
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
-    if mesh is not None:
-        state = jax.tree.map(
-            lambda a: jax.device_put(a, replicate(mesh)), state
-        )
-
-    # ---- logging ----
-    writer = _make_writer(run_dir)
-    guard = DeadlineGuard(args.time_to_run)
-    key = jax.random.PRNGKey(cfg.seed)
-
-    t_last = time.perf_counter()
-    pending = [sample]
-    for step in range(start_step, args.max_steps):
-        batch = pending.pop() if pending else next(it)
+        mesh = make_mesh(n_dev) if n_dev > 1 else None
         if mesh is not None:
-            batch = shard_batch(batch, mesh)
-        else:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-        key, sub = jax.random.split(key)
-        state, metrics = train_step(state, batch, sub)
+            state = jax.tree.map(
+                lambda a: jax.device_put(a, replicate(mesh)), state
+            )
 
-        if args.debug_nans:
-            m = {k: float(v) for k, v in metrics.items()}
-            bad = [k for k, v in m.items() if not np.isfinite(v)]
-            if bad:
-                # per-term report, the detect_anomaly-style diagnosis
-                print(f"NON-FINITE at step {step}: {bad}; all terms: {m}",
+        # ---- logging ----
+        writer = _make_writer(run_dir)
+        guard = DeadlineGuard(args.time_to_run)
+        key = jax.random.PRNGKey(cfg.seed)
+
+        t_last = time.perf_counter()
+        pending = [sample]
+        for step in range(start_step, args.max_steps):
+            batch = pending.pop() if pending else next(it)
+            # the dispatch tag never rides to the device: the step
+            # dispatcher pops it host-side every step
+            tag = batch.pop("mixed_source", None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if tag is not None:
+                batch["mixed_source"] = np.asarray(tag)
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+
+            if args.debug_nans:
+                m = {k: float(v) for k, v in metrics.items()}
+                bad = [k for k, v in m.items() if not np.isfinite(v)]
+                if bad:
+                    # per-term report, the detect_anomaly-style diagnosis
+                    print(f"NON-FINITE at step {step}: {bad}; all terms: {m}",
+                          flush=True)
+                    norms = {
+                        "/".join(str(getattr(p, "key", p)) for p in path):
+                            float(np.linalg.norm(np.asarray(a)))
+                        for path, a in jax.tree_util.tree_flatten_with_path(
+                            jax.device_get(state.params))[0][:20]
+                    }
+                    print(f"param norms (first 20 leaves): {norms}", flush=True)
+                    raise FloatingPointError(f"non-finite loss terms: {bad}")
+
+            if (step + 1) % 10 == 0 or step == start_step:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = (time.perf_counter() - t_last)
+                t_last = time.perf_counter()
+                for k, v in m.items():
+                    writer.add_scalar(f"{k}/train", v, step)
+                print(f"step {step + 1} loss {m['loss']:.2f} ({dt:.2f}s/10 steps)",
                       flush=True)
-                norms = {
-                    "/".join(str(getattr(p, "key", p)) for p in path):
-                        float(np.linalg.norm(np.asarray(a)))
-                    for path, a in jax.tree_util.tree_flatten_with_path(
-                        jax.device_get(state.params))[0][:20]
+
+            if (step + 1) % args.val_every == 0 or step + 1 == args.max_steps:
+                vals = []
+                vals_by_src = {}
+                summary_done = False
+                for vb in val_batches():
+                    src = (int(np.asarray(vb["mixed_source"])[0])
+                           if "mixed_source" in vb else None)
+                    vtag = vb.pop("mixed_source", None)
+                    vb = ({k: jnp.asarray(v) for k, v in vb.items()}
+                          if mesh is None else shard_batch(vb, mesh))
+                    if vtag is not None:
+                        vb["mixed_source"] = np.asarray(vtag)
+                    vm, preds = eval_step(state, vb)
+                    vals.append({k: float(v) for k, v in vm.items()})
+                    if src is not None:
+                        vals_by_src.setdefault(src, []).append(vals[-1])
+                    if not summary_done and cfg.model in (
+                        "copenet_twoview", "copenet_twoview_sep"
+                    ):
+                        # rendered per-view [input | pred] grid summary (the
+                        # reference's TB summaries, copenet_twoview.py:445-501),
+                        # incl. the real fine-tune path where visuals are the
+                        # only verification signal
+                        try:
+                            img = _twoview_summary(
+                                smplx_params, vb, preds, real_finetune,
+                                cfg.trans_scale,
+                            )
+                            writer.add_image(
+                                "val_pred_shape_cam", img.transpose(2, 0, 1), step
+                            )
+                        except Exception as e:  # rendering is best-effort
+                            print(f"summary render skipped: {e}", flush=True)
+                        summary_done = True
+                # mixed:// val batches carry per-source metric sets — average
+                # each key over the entries that have it
+                keys = sorted(set().union(*vals))
+                mean_val = {
+                    k: float(np.mean([v[k] for v in vals if k in v]))
+                    for k in keys
                 }
-                print(f"param norms (first 20 leaves): {norms}", flush=True)
-                raise FloatingPointError(f"non-finite loss terms: {bad}")
+                for k, v in mean_val.items():
+                    writer.add_scalar(f"{k}/val", v, step)
+                per_src = ""
+                if len(vals_by_src) > 1:
+                    # heterogeneous (mixed://) val: the combined mean averages
+                    # DIFFERENT loss kinds across sources — also report each
+                    # source's own mean so progress per dataset is readable
+                    def _sname(s):
+                        n = source_names[s]
+                        return f"{n}{s}" if source_names.count(n) > 1 else n
 
-        if (step + 1) % 10 == 0 or step == start_step:
-            m = {k: float(v) for k, v in metrics.items()}
-            dt = (time.perf_counter() - t_last)
-            t_last = time.perf_counter()
-            for k, v in m.items():
-                writer.add_scalar(f"{k}/train", v, step)
-            print(f"step {step + 1} loss {m['loss']:.2f} ({dt:.2f}s/10 steps)",
-                  flush=True)
+                    for s, lst in sorted(vals_by_src.items()):
+                        name = _sname(s)
+                        for k in sorted(set().union(*lst)):
+                            writer.add_scalar(
+                                f"{k}/val_{name}",
+                                float(np.mean([v[k] for v in lst if k in v])),
+                                step)
+                    per_src = " (" + ", ".join(
+                        f"{_sname(s)} "
+                        f"{np.mean([v['loss'] for v in lst]):.2f}"
+                        for s, lst in sorted(vals_by_src.items())) + ")"
+                print(f"step {step + 1} val_loss {mean_val['loss']:.2f}"
+                      f"{per_src}", flush=True)
+                ckpts.save_with_val(jax.device_get(state), mean_val["loss"])
 
-        if (step + 1) % args.val_every == 0 or step + 1 == args.max_steps:
-            vals = []
-            vals_by_src = {}
-            summary_done = False
-            for vb in val_batches():
-                src = (int(np.asarray(vb["mixed_source"])[0])
-                       if "mixed_source" in vb else None)
-                vb = ({k: jnp.asarray(v) for k, v in vb.items()}
-                      if mesh is None else shard_batch(vb, mesh))
-                vm, preds = eval_step(state, vb)
-                vals.append({k: float(v) for k, v in vm.items()})
-                if src is not None:
-                    vals_by_src.setdefault(src, []).append(vals[-1])
-                if not summary_done and cfg.model in (
-                    "copenet_twoview", "copenet_twoview_sep"
-                ):
-                    # rendered per-view [input | pred] grid summary (the
-                    # reference's TB summaries, copenet_twoview.py:445-501),
-                    # incl. the real fine-tune path where visuals are the
-                    # only verification signal
-                    try:
-                        img = _twoview_summary(
-                            smplx_params, vb, preds, real_finetune,
-                            cfg.trans_scale,
-                        )
-                        writer.add_image(
-                            "val_pred_shape_cam", img.transpose(2, 0, 1), step
-                        )
-                    except Exception as e:  # rendering is best-effort
-                        print(f"summary render skipped: {e}", flush=True)
-                    summary_done = True
-            # mixed:// val batches carry per-source metric sets — average
-            # each key over the entries that have it
-            keys = sorted(set().union(*vals))
-            mean_val = {
-                k: float(np.mean([v[k] for v in vals if k in v]))
-                for k in keys
-            }
-            for k, v in mean_val.items():
-                writer.add_scalar(f"{k}/val", v, step)
-            per_src = ""
-            if len(vals_by_src) > 1:
-                # heterogeneous (mixed://) val: the combined mean averages
-                # DIFFERENT loss kinds across sources — also report each
-                # source's own mean so progress per dataset is readable
-                def _sname(s):
-                    n = source_names[s]
-                    return f"{n}{s}" if source_names.count(n) > 1 else n
+            if guard.expired():
+                print("time_to_run exceeded: checkpoint + exit 3", flush=True)
+                guard.checkpoint_and_exit(ckpts, jax.device_get(state))
 
-                for s, lst in sorted(vals_by_src.items()):
-                    name = _sname(s)
-                    for k in sorted(set().union(*lst)):
-                        writer.add_scalar(
-                            f"{k}/val_{name}",
-                            float(np.mean([v[k] for v in lst if k in v])),
-                            step)
-                per_src = " (" + ", ".join(
-                    f"{_sname(s)} "
-                    f"{np.mean([v['loss'] for v in lst]):.2f}"
-                    for s, lst in sorted(vals_by_src.items())) + ")"
-            print(f"step {step + 1} val_loss {mean_val['loss']:.2f}"
-                  f"{per_src}", flush=True)
-            ckpts.save_with_val(jax.device_get(state), mean_val["loss"])
-
-        if guard.expired():
-            print("time_to_run exceeded: checkpoint + exit 3", flush=True)
-            guard.checkpoint_and_exit(ckpts, jax.device_get(state))
-
-    ckpts.save(jax.device_get(state), "last")
-    writer.close()
-    print("training done", flush=True)
+        ckpts.save(jax.device_get(state), "last")
+        writer.close()
+        print("training done", flush=True)
+    finally:
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
 
 
 if __name__ == "__main__":
