@@ -186,6 +186,10 @@ class Prefetcher:
     def _put(self, batch):
         host = {}
         if self._host_keys and isinstance(batch, dict):
+            # Shallow-copy before popping host keys: the iterator-based
+            # constructor may hand us caller-owned dicts that must not be
+            # mutated (the from_factory path always builds fresh ones).
+            batch = dict(batch)
             host = {k: batch.pop(k) for k in self._host_keys if k in batch}
         if self._sharding is not None:
             batch = jax.tree.map(

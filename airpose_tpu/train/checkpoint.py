@@ -233,10 +233,12 @@ def _export_resnet_flax_to_torch(params: Dict, stats: Dict, sd: Dict,
             np.asarray(kernel, np.float32).transpose(3, 2, 0, 1).copy())
 
     def put_bn(key, p, s):
-        sd[prefix + key + ".weight"] = torch.from_numpy(np.asarray(p["scale"], np.float32))
-        sd[prefix + key + ".bias"] = torch.from_numpy(np.asarray(p["bias"], np.float32))
-        sd[prefix + key + ".running_mean"] = torch.from_numpy(np.asarray(s["mean"], np.float32))
-        sd[prefix + key + ".running_var"] = torch.from_numpy(np.asarray(s["var"], np.float32))
+        # np.array (not asarray): always copy — jax exports can be
+        # non-writable views, and torch.from_numpy warns/aliases on those.
+        sd[prefix + key + ".weight"] = torch.from_numpy(np.array(p["scale"], np.float32))
+        sd[prefix + key + ".bias"] = torch.from_numpy(np.array(p["bias"], np.float32))
+        sd[prefix + key + ".running_mean"] = torch.from_numpy(np.array(s["mean"], np.float32))
+        sd[prefix + key + ".running_var"] = torch.from_numpy(np.array(s["var"], np.float32))
 
     put_conv("conv1.weight", params["conv1"]["kernel"])
     put_bn("bn1", params["bn1"], stats["bn1"])
@@ -273,7 +275,7 @@ def export_reference_checkpoint(variables: Dict, model_name: str,
         sd[f"{prefix}{name}.weight"] = torch.from_numpy(
             np.asarray(tree["kernel"], np.float32).T.copy())
         sd[f"{prefix}{name}.bias"] = torch.from_numpy(
-            np.asarray(tree["bias"], np.float32))
+            np.array(tree["bias"], np.float32))
 
     head_names = {
         "hmr": ("decpose", "decshape", "deccam"),

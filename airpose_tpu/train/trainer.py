@@ -567,6 +567,7 @@ def main(argv=None):
     # daemon workers (they park forever in the bounded put otherwise —
     # in-process callers like the dress rehearsal would leak them plus
     # their queued device-resident batches on every train run).
+    writer = None
     try:
         sample = next(it)
         B = sample["images"].shape[0]
@@ -848,9 +849,14 @@ def main(argv=None):
                 guard.checkpoint_and_exit(ckpts, jax.device_get(state))
 
         ckpts.save(jax.device_get(state), "last")
-        writer.close()
         print("training done", flush=True)
     finally:
+        # Close the writer on EVERY exit (exceptions, the DeadlineGuard's
+        # SystemExit) so buffered TensorBoard events are flushed, not just
+        # on clean completion. `writer` is None if the failure precedes
+        # its creation.
+        if writer is not None:
+            writer.close()
         close = getattr(it, "close", None)
         if close is not None:
             close()
