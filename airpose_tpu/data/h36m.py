@@ -36,7 +36,10 @@ class H36MDataset:
     (1, 2), test → cameras (3, 4), matching h36m_full_train/test."""
 
     def __init__(self, root: str, split: str = "train",
-                 context_size: int = 672, shuffle_cams: bool = True):
+                 context_size: int = 672, shuffle_cams: bool = True,
+                 validate: bool = True):
+        from .validate import PathResolver, validate_h36m
+
         self.root = root
         self.split = split
         self.cams = (1, 2) if split == "train" else (3, 4)
@@ -45,6 +48,11 @@ class H36MDataset:
         with open(osp.join(root, "dsets", "h36m_db.pkl"), "rb") as f:
             self.db = pickle.load(f)
         self._cam_cache: Dict = {}
+        self._resolve = PathResolver(root)
+        if validate:
+            # loud first-contact diagnosis: key/shape/unit drift in a real
+            # h36m_db.pkl fails here, not as a silent mis-scale downstream
+            validate_h36m(root, self.db, H36M_MOVABLE, self._resolve)
 
     def __len__(self) -> int:
         return len(self.db)
@@ -109,10 +117,7 @@ class H36MDataset:
             rec = self.db[idx]
             for v, ci in enumerate(orders[b]):
                 cam = self.cams[ci]
-                p = rec[f"c{cam}"]
-                if not osp.isabs(p):
-                    p = osp.join(self.root, p)
-                paths[(b, v)] = p
+                paths[(b, v)] = self._resolve(rec[f"c{cam}"])
                 jobs.append((b, v))
 
         decoded = {}

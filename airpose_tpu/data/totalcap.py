@@ -25,7 +25,9 @@ _FRAME_W, _FRAME_H = 1920, 1080  # ref totalcap.py:60-61 (1919/1079 crop)
 
 class TotalCaptureDataset:
     def __init__(self, root: str, view_pair: Tuple[int, int] = (1, 2),
-                 context_size: int = 672):
+                 context_size: int = 672, validate: bool = True):
+        from .validate import PathResolver, validate_totalcap
+
         self.root = root
         self.view_pair = view_pair
         self.context_size = context_size
@@ -33,6 +35,12 @@ class TotalCaptureDataset:
             self.db = pickle.load(f)["db"]
         with open(osp.join(root, "cameras.pkl"), "rb") as f:
             self.cams = pickle.load(f)
+        self._resolve = PathResolver(root)
+        if validate:
+            # loud first-contact diagnosis: key/shape/unit drift in a real
+            # totalcap_db.pkl fails here, not as a silent mis-scale
+            validate_totalcap(root, self.db, self.cams, view_pair,
+                              self._resolve)
 
     def __len__(self) -> int:
         return len(self.db)
@@ -102,8 +110,7 @@ class TotalCaptureDataset:
         jobs, paths = [], {}
         for b, idx in enumerate(indices):
             for v, cam in enumerate(orders[b]):
-                p = self.db[idx][f"im{cam}"]
-                paths[(b, v)] = p if osp.isabs(p) else osp.join(self.root, p)
+                paths[(b, v)] = self._resolve(self.db[idx][f"im{cam}"])
                 jobs.append((b, v))
         decoded = {}
         if decode_images:
