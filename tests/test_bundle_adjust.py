@@ -73,6 +73,7 @@ def _make_problem(models, rng, N=12):
     return z_true, jnp.asarray(phi_rm), jnp.asarray(tau), jnp.asarray(intr), jnp.asarray(kp)
 
 
+@pytest.mark.slow
 def test_bundle_adjust_reduces_reprojection_error(models, rng):
     smplx_params, vposer_params = models
     z_true, phi_rm, tau, intr, kp = _make_problem(models, rng)
@@ -103,6 +104,7 @@ def test_bundle_adjust_reduces_reprojection_error(models, rng):
     )
 
 
+@pytest.mark.slow
 def test_ba_debug_report_localizes_bad_gradients(models, rng):
     """The detect_anomaly / bad-grad-visualizer analog (--debug_nans):
     clean data reports all-finite; a poisoned keypoint confidence is
@@ -141,6 +143,7 @@ def test_ba_debug_report_localizes_bad_gradients(models, rng):
     assert print_debug_report(rep2) is False
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(models, rng):
     """Frame-sharded whole-sequence BA over the 8-virtual-device mesh ≡
     the single-device path (same loss trace, same optimum) — including
@@ -181,6 +184,7 @@ def test_sharded_matches_single_device(models, rng):
             rtol=1e-3, atol=2e-4, err_msg=name)
 
 
+@pytest.mark.slow
 def test_sequence_cli_end_to_end(tmp_path):
     """The AirPose+ sequence driver: real compile → outputs pkl →
     bundle_adjust CLI over chunks → result pkl + trajectory plot (the

@@ -13,6 +13,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from test_data import _write_fake_aerialpeople, _write_fake_real  # noqa: E402
+import pytest
 
 
 def test_compile_results_ondisk(tmp_path, capsys):
@@ -45,6 +46,7 @@ def test_compile_results_ondisk(tmp_path, capsys):
     assert np.isfinite(out["pred_smpltrans0"]).all()
 
 
+@pytest.mark.slow
 def test_compile_results_int8(tmp_path, capsys):
     """--int8 evaluates the quantized serving configuration on the same
     metrics — the MPJPE numbers must stay in the same regime as bf16
@@ -108,6 +110,7 @@ def test_compile_results_ondisk_singleview(tmp_path):
     assert res[0][0]["output"]["pred_angles"].shape == (3, 22, 3)
 
 
+@pytest.mark.slow
 def test_compile_results_real(tmp_path, capsys):
     """real:// eval: outputs pkl carries the raw 135-d pose state (the
     benchtest interchange) and the robust cross-view consistency metric."""
@@ -319,6 +322,7 @@ def test_load_vposer_ckpt_roundtrip(tmp_path):
     assert np.isfinite(np.asarray(out["pose_body"])).all()
 
 
+@pytest.mark.slow
 def test_eval_covers_all_frames_when_batch_does_not_divide(tmp_path, capsys):
     """n % batch_size != 0 must NOT silently drop the tail: every split's
     outputs pkl must carry exactly n rows, on the on-disk supervised path,
@@ -384,6 +388,7 @@ def test_eval_covers_all_frames_when_batch_does_not_divide(tmp_path, capsys):
     assert rows(out_pkl, 0, "pred_angles0") == 5
 
 
+@pytest.mark.slow
 def test_compile_results_mesh_equivalence(tmp_path, capsys):
     """--mesh N: data-parallel eval over the device mesh must match the
     single-device eval numerically (state replicated, batches sharded,

@@ -8,8 +8,10 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_dress_rehearsal_end_to_end(tmp_path):
     from airpose_tpu.tools.dress_rehearsal import run
 

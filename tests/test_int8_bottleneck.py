@@ -9,6 +9,8 @@ import numpy as np
 
 from airpose_tpu.models.resnet import ResNet50
 from airpose_tpu.ops import calibrate_act_scales, quantize_trunk_params
+import pytest
+
 from airpose_tpu.ops.int8_bottleneck import (
     int8_block,
     quantize_trunk_pallas,
@@ -60,6 +62,7 @@ def _quantized_trunk(rng, hw=64):
     return model, variables, x, quantize_trunk_pallas(variables, scales)
 
 
+@pytest.mark.slow
 def test_blocks_match_xla_transcription(rng):
     """Every block kind (projection/stride-2 and identity, incl. the
     bf16-out trunk-final) matches the lax transcription element-exact up

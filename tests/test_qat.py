@@ -52,6 +52,7 @@ def test_fake_quant_commutes_with_bn_fold(rng):
                                np.asarray(q_then_fold), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_qat_recovers_quantization_degradation(rng):
     """The VERDICT-prescribed recovery check: train a twoview model
     briefly, degrade it with a coarse quantization grid (levels=7 ≈ 3-bit
@@ -122,6 +123,7 @@ def test_fake_quant_act_grid_and_ste(rng):
     assert fake_quant_act(x.astype(jnp.bfloat16), 127.0).dtype == jnp.bfloat16
 
 
+@pytest.mark.slow
 def test_qat_act_recovers_activation_quantization_degradation(rng):
     """Activation-QAT recovery: at a coarse activation grid (levels=3 —
     activation rounding is far more benign than weight rounding on this
@@ -168,6 +170,7 @@ def test_qat_act_recovers_activation_quantization_degradation(rng):
     assert np.isfinite(rec_loss)
 
 
+@pytest.mark.slow
 def test_trainer_cli_qat_smoke(tmp_path):
     """--qat (+ --qat_act) end to end through the trainer CLI (tiny
     synthetic run)."""
@@ -184,3 +187,109 @@ def test_trainer_cli_qat_smoke(tmp_path):
 
     assert os.path.exists(
         str(tmp_path / "qat_smoke" / "version_0" / "checkpoints" / "last"))
+
+
+def test_fake_quant_act_frozen_scale_matches_deployed_and_clips(rng):
+    """fake_quant_act with a STATIC scale reproduces the deployed
+    int8_trunk._quantize_act dequantized values for that scale — including
+    the CLIPPING a dynamic abs-max scale can never produce — and the STE
+    gradient stays identity (clipped values included: deployment clips,
+    so training must see through it to adapt)."""
+    from airpose_tpu.ops import fake_quant_act
+    from airpose_tpu.ops.int8_trunk import _quantize_act
+
+    x = jnp.asarray(rng.normal(size=(2, 5, 5, 8)).astype(np.float32) * 3.0)
+    s = float(jnp.max(jnp.abs(x))) / 127.0 * 0.25  # under-calibrated: clips
+    fq = np.asarray(fake_quant_act(x, 127.0, scale=s))
+    q, s_used = _quantize_act(x, s=jnp.float32(s))
+    np.testing.assert_allclose(fq, np.asarray(q, np.float32) * float(s_used),
+                               rtol=1e-6, atol=1e-6)
+    assert (np.abs(np.asarray(q)) == 127).any(), "fixture did not clip"
+
+    g = jax.grad(lambda t: jnp.sum(fake_quant_act(t, 127.0, scale=s) * 3.0))(x)
+    np.testing.assert_allclose(np.asarray(g), 3.0)
+
+
+@pytest.mark.slow
+def test_qat_act_frozen_scales_recover_clipping_damage(rng):
+    """The frozen-calibrated-scale posture end to end: deployment-style
+    per-site scales (int8_trunk.calibrate_act_scales) deliberately
+    under-calibrated (×0.02 → heavy clipping; the fixture model tolerates mild clipping, measured in r4) damage the trained model's
+    frozen-grid forward; fine-tuning THROUGH the same frozen grid
+    (act_fq=(levels, scales)) recovers most of the damage. This is the
+    scenario dynamic abs-max QAT cannot even represent — its scale tracks
+    the batch, so nothing ever clips at train time."""
+    from airpose_tpu.ops.int8_trunk import (calibrate_act_scales,
+                                            quantize_trunk_params)
+
+    smplx_small = synthetic_smplx_params(num_vertices=222, seed=3)
+    dataset = make_synthetic_dataset(
+        smplx_small, num_samples=8, seed=5, img_size=64, blob_sigma=3.0)
+    batch = batch_slice(dataset, 0, B)
+
+    cfg = TrainConfig(lr=1e-4, batch_size=B)
+    model = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters)
+    in_trans = jnp.full_like(batch["gt_trans"], 0.5)
+    state, tx = create_train_state(
+        model, (batch["images"], batch["bb"], in_trans),
+        jax.random.PRNGKey(0), lr=cfg.lr)
+    train_step, eval_step = make_twoview_step_fns(model, smplx_small, cfg, tx)
+
+    key = jax.random.PRNGKey(42)
+    for _ in range(15):  # plain pre-training
+        key, sub = jax.random.split(key)
+        state, _ = train_step(state, batch, sub)
+    bf16_loss = float(eval_step(state, batch)[0]["loss"])
+
+    # deployment-style calibration on the trained weights, then shrink the
+    # steps to force clipping (the bad-calibration regime)
+    variables = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    imgs = jnp.asarray(batch["images"]).reshape(-1, 64, 64, 3)
+    scales = calibrate_act_scales(quantize_trunk_params(variables), imgs)
+    bad = {k: float(v) * 0.02 for k, v in scales.items()}
+
+    model_fz = MODEL_REGISTRY["copenet_twoview"](
+        iters=cfg.reg_iters, act_fq=(127.0, bad))
+    fz_train_step, fz_eval_step = make_twoview_step_fns(
+        model_fz, smplx_small, cfg, tx)
+    clip_loss = float(fz_eval_step(state, batch)[0]["loss"])
+    damage = clip_loss - bf16_loss
+    assert damage > 0.05 * bf16_loss, (
+        "fixture no longer shows clipping damage", bf16_loss, clip_loss)
+
+    for _ in range(20):  # fine-tune THROUGH the frozen (clipping) grid
+        key, sub = jax.random.split(key)
+        state, _ = fz_train_step(state, batch, sub)
+    rec_loss = float(fz_eval_step(state, batch)[0]["loss"])
+    assert rec_loss < bf16_loss + 0.5 * damage, (
+        bf16_loss, clip_loss, rec_loss)
+    assert np.isfinite(rec_loss)
+
+
+@pytest.mark.slow
+def test_trainer_cli_qat_act_frozen_smoke(tmp_path):
+    """--qat --qat_act --qat_act_frozen end to end through the trainer CLI:
+    calibrates per-site scales on the first batch and trains through the
+    frozen grid (the wiring + site-key-naming check — a mismatched key
+    KeyErrors at trace time)."""
+    import contextlib
+    import io
+    import os
+
+    from airpose_tpu.train.trainer import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([
+            "--name", "qat_fz", "--version", "0", "--model",
+            "copenet_twoview", "--datapath", "synthetic://8", "--log_dir",
+            str(tmp_path), "--batch_size", "4", "--val_batch_size", "4",
+            "--max_steps", "2", "--val_every", "2", "--img_res", "64",
+            "--qat", "--qat_act", "--qat_act_frozen",
+        ])
+    assert "frozen activation-QAT" in buf.getvalue()
+    assert os.path.exists(
+        str(tmp_path / "qat_fz" / "version_0" / "checkpoints" / "last"))

@@ -83,6 +83,7 @@ def test_staged_protocol_matches_fused(served_model, rng):
     )
 
 
+@pytest.mark.slow
 def test_staged_int8_close_to_bf16(served_model, rng):
     """`StagedRegressor(int8=True)` (the --int8 serving flag): lazy
     first-frame calibration, then int8 trunk features — step1 output must
@@ -108,6 +109,7 @@ def test_staged_int8_close_to_bf16(served_model, rng):
     assert q._act_scales is scales
 
 
+@pytest.mark.slow
 def test_staged_int8_matches_fused_int8(served_model, rng):
     """The staged≡fused identity survives quantization: the 3-round
     message exchange over int8 features equals the fused int8 forward
@@ -786,3 +788,36 @@ def test_max_frames_exits_with_live_peer_link(served_model, rng):
         assert tasks[1].exception() is None
     finally:
         _stop_loop(loop, t)
+
+
+@pytest.mark.slow
+def test_benchtest_rate_procs_separate_processes(tmp_path):
+    """--rate-procs: the served-vs-offline replay with the servers in two
+    SEPARATE OS processes (the reference's actual deployment topology, one
+    server per drone machine — ref README.md:221-223) instead of two
+    coroutines on one event loop. The wire results must still match the
+    offline fused forward, and the rate probe must produce a number (the
+    PERF.md separate-process FPS row comes from exactly this path)."""
+    import contextlib
+    import io
+
+    from airpose_tpu.serve.benchtest import main as bench_main
+    from airpose_tpu.tools.synth_real_capture import write_capture
+
+    real = str(tmp_path / "cap")
+    write_capture(real, n_frames=4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_main([
+            "--datapath", f"real://{real}", "--frames", "0", "4",
+            "--random-init", "--batch_size", "4", "--img_res", "64",
+            "--rate", "--rate-warmup", "1", "--rate-procs",
+        ])
+    out = buf.getvalue()
+    vals = {
+        line.split(": ")[0]: float(line.split(": ")[1])
+        for line in out.splitlines() if line.startswith("benchtest_")
+    }
+    assert vals["benchtest_absdiff_pose_m1"] < 1e-3, out
+    assert vals["benchtest_absdiff_pose_m2"] < 1e-3, out
+    assert vals["benchtest_served_fps"] > 0, out

@@ -53,6 +53,7 @@ def _init(model_name, batch, cfg):
     return model, state, tx
 
 
+@pytest.mark.slow
 def test_twoview_loss_decreases(smplx_small, dataset):
     cfg = TrainConfig(lr=5e-5, batch_size=B)
     batch = batch_slice(dataset, 0, B)
@@ -77,6 +78,7 @@ def test_twoview_loss_decreases(smplx_small, dataset):
     assert preds["pred_trans"].shape == (B, 2, 3)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", ["hmr", "copenet_singleview", "muhmr"])
 def test_other_families_loss_decreases(smplx_small, dataset, family):
     """Descent, not just liveness, for the three non-flagship families —
@@ -96,6 +98,7 @@ def test_other_families_loss_decreases(smplx_small, dataset, family):
     assert np.mean(losses[-4:]) < np.mean(losses[:3]), (family, losses)
 
 
+@pytest.mark.slow
 def test_h36m_joints_loss_decreases(smplx_small, dataset):
     """The joints-only supervised loss (losses.joints_loss — the harness
     that makes the h36m:// loaders trainable) descends on a reachable
@@ -217,6 +220,7 @@ def test_totalcap_gt_matches_full_forward(smplx_small):
         np.testing.assert_allclose(out_c[k], out[k], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_on_mesh(smplx_small, dataset):
     """The same train step on a sharded batch over 8 virtual devices must
     run and produce finite metrics (GSPMD DP path)."""
@@ -231,6 +235,7 @@ def test_data_parallel_step_on_mesh(smplx_small, dataset):
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_step_numerically_equals_single_device(
     smplx_small, dataset
 ):
@@ -275,6 +280,7 @@ def test_data_parallel_step_numerically_equals_single_device(
         np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_dp_x_tp_step_numerically_equals_single_device(smplx_small, dataset):
     """2-D ("data","model") mesh: batch sharded over data, wide fc/conv
     kernels sharded over model — same loss and parameters as one device
@@ -319,6 +325,7 @@ def test_dp_x_tp_step_numerically_equals_single_device(smplx_small, dataset):
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=3 * cfg.lr)
 
 
+@pytest.mark.slow
 def test_train_reg_only_freezes_trunk(smplx_small, dataset):
     from airpose_tpu.train.state import make_optimizer
 
@@ -345,6 +352,7 @@ def test_train_reg_only_freezes_trunk(smplx_small, dataset):
     assert changed
 
 
+@pytest.mark.slow
 def test_real_twoview_finetune_step(smplx_small, dataset):
     """Self-supervised fine-tune: loss computes and a step runs with the
     VPoser prior in the graph."""
@@ -368,6 +376,7 @@ def test_real_twoview_finetune_step(smplx_small, dataset):
     assert np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_real_singleview_variants(smplx_small, dataset):
     from airpose_tpu.bodymodel import init_vposer_params
     from airpose_tpu.train.loop import make_real_singleview_step_fns

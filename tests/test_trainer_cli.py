@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_trainer_cli_synthetic_and_resume(tmp_path):
     from airpose_tpu.train.trainer import main
 
@@ -26,6 +27,7 @@ def test_trainer_cli_synthetic_and_resume(tmp_path):
     main(args[:-3] + ["5", "--val_every", "5", "--img_res", "64"])
 
 
+@pytest.mark.slow
 def test_trainer_cli_h36m_joints(tmp_path):
     """h36m:// datapath: the joints-only supervised path (the loaders the
     reference shipped legacy-broken and never wired into a loss) trains
@@ -51,6 +53,7 @@ def test_trainer_cli_h36m_joints(tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
 
 
+@pytest.mark.slow
 def test_trainer_cli_totalcap(tmp_path):
     """totalcap:// datapath: SMPL-parameter GT runs through the FULL
     supervised twoview loss via twoview_gt_from_smpl."""
@@ -75,6 +78,7 @@ def test_trainer_cli_totalcap(tmp_path):
     assert os.path.exists(os.path.join(ckpt_dir, "last"))
 
 
+@pytest.mark.slow
 def test_trainer_cli_mixed_h36m_totalcap(tmp_path, capsys):
     """mixed:// datapath: heterogeneous 50/50 training — joints-GT (h36m)
     and SMPL-GT (totalcap) batches interleave, each dispatched to its own
@@ -135,6 +139,7 @@ def test_trainer_cli_rejects_empty_val_split(tmp_path):
         ])
 
 
+@pytest.mark.slow
 def test_trainer_cli_real_finetune(tmp_path):
     import sys
 
@@ -153,3 +158,83 @@ def test_trainer_cli_real_finetune(tmp_path):
         "--batch_size", "2", "--val_batch_size", "2",
         "--max_steps", "2", "--val_every", "2",
     ])
+
+
+@pytest.mark.slow
+def test_trainer_cli_pretrained_reg_only_finetune(tmp_path):
+    """The reference README's synthetic→real chain (ref README.md:117-124:
+    resume real training from the synthetic checkpoint;
+    copenet_real/copenet_twoview.py:361-373 freezes all but the regressor
+    heads): --pretrained_checkpoint warm-starts params ACROSS optimizer
+    variants (amsgrad pretrain → train_reg_only multi_transform), the
+    trunk stays bit-exact frozen, and the heads move."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    from test_data import _write_fake_real
+
+    from airpose_tpu.train.checkpoint import load_model_variables
+    from airpose_tpu.train.trainer import main
+
+    logs = str(tmp_path / "logs")
+    main([
+        "--name", "pre", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", "synthetic://8", "--log_dir", logs,
+        "--batch_size", "2", "--val_batch_size", "2", "--max_steps", "2",
+        "--val_every", "2", "--img_res", "64",
+    ])
+    pre = os.path.join(logs, "pre", "version_0", "checkpoints", "last")
+
+    ds = str(tmp_path / "real")
+    os.makedirs(ds)
+    _write_fake_real(ds, n=6)
+    main([
+        "--name", "ft", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", f"real://{ds}", "--train_frames", "0", "4",
+        "--test_frames", "4", "6", "--log_dir", logs,
+        "--pretrained_checkpoint", pre, "--train_reg_only",
+        "--batch_size", "2", "--val_batch_size", "2", "--max_steps", "2",
+        "--val_every", "2", "--img_res", "64",
+    ])
+    ft = os.path.join(logs, "ft", "version_0", "checkpoints", "last")
+
+    _, a = load_model_variables("copenet_twoview", ckpt=pre)
+    _, b = load_model_variables("copenet_twoview", ckpt=ft)
+    # warm start took AND the freeze held: the fine-tuned trunk equals the
+    # PRETRAINED trunk bit-exact (a fresh-init trunk would differ — the
+    # pretrain moved it off the seeded init)
+    for x, y in zip(jax.tree.leaves(a["params"]["trunk"]),
+                    jax.tree.leaves(b["params"]["trunk"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ... while the regressor heads moved
+    moved = max(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max())
+        for x, y in zip(jax.tree.leaves(a["params"]["core"]),
+                        jax.tree.leaves(b["params"]["core"]))
+    )
+    assert moved > 0, "train_reg_only fine-tune did not move the heads"
+
+
+@pytest.mark.slow
+def test_trainer_cli_pretrained_checkpoint_wrong_family(tmp_path):
+    """A pretrained checkpoint from a DIFFERENT model family fails fast
+    with a diagnosis, not a tree error deep inside the train step."""
+    from airpose_tpu.train.trainer import main
+
+    logs = str(tmp_path / "logs")
+    main([
+        "--name", "pre", "--version", "0", "--model", "muhmr",
+        "--datapath", "synthetic://6", "--log_dir", logs,
+        "--batch_size", "2", "--val_batch_size", "2", "--max_steps", "1",
+        "--val_every", "1", "--img_res", "64",
+    ])
+    pre = os.path.join(logs, "pre", "version_0", "checkpoints", "last")
+    with pytest.raises(SystemExit, match="different param tree"):
+        main([
+            "--name", "bad", "--version", "0", "--model", "copenet_twoview",
+            "--datapath", "synthetic://6", "--log_dir", logs,
+            "--pretrained_checkpoint", pre,
+            "--batch_size", "2", "--val_batch_size", "2", "--max_steps", "1",
+            "--val_every", "1", "--img_res", "64",
+        ])
