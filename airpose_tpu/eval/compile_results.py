@@ -813,10 +813,20 @@ def main(argv=None):
                          **jax.tree.map(jnp.asarray, variables["batch_stats"])},
         )
     elif args.ckpt:
-        import orbax.checkpoint as ocp
+        # Template-free restore: the checkpoint's opt_state may belong to
+        # any optimizer variant (a --train_reg_only fine-tune writes a
+        # multi_transform structure) and eval never needs it — a
+        # TrainState-template restore rejects exactly those checkpoints
+        # (the round-2 server defect, resurfaced here by the rehearsal's
+        # synthetic→real fine-tune stage).
+        from ..train.checkpoint import load_model_variables
 
-        state = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.ckpt), state
+        _, variables = load_model_variables(args.model, ckpt=args.ckpt)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, variables["params"]),
+            batch_stats={**state.batch_stats,
+                         **jax.tree.map(jnp.asarray,
+                                        variables["batch_stats"])},
         )
 
     per_split = []

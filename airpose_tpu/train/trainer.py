@@ -78,6 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "int8 quantization points — the recovery path "
                         "when the calibration clip-rate report shows "
                         "activation clipping)")
+    t.add_argument("--qat_act_frozen", action="store_true",
+                   help="with --qat_act: freeze the activation fake-quant "
+                        "scales to DEPLOYMENT-CALIBRATED per-site steps "
+                        "(int8_trunk.calibrate_act_scales on the "
+                        "warm-started weights over the first batch) "
+                        "instead of dynamic per-batch abs-max — training "
+                        "sees the deployed grid exactly, clipping "
+                        "included; _sep families get one table per "
+                        "per-drone trunk, calibrated on its own view")
     t.add_argument("--imagenet_ckpt", default=None,
                    help="torchvision ResNet-50 .pth state dict to warm-start "
                         "the conv trunk(s) from (the reference loads ImageNet "
@@ -345,7 +354,8 @@ def main(argv=None):
 
         def _finish_real(ds, idx, rng_np, key):
             hb = ds.host_batch(idx, rng_np)
-            b = finish_batch(hb, key, deterministic=True, margin=0.0)
+            b = finish_batch(hb, key, deterministic=True, margin=0.0,
+                             out_size=cfg.img_res)
             b["gt_j2d_conf"] = b["gt_j2d_conf"][:, :, :22]
             # per-camera focal lengths (ref copenet_real/constants.py:12-13,
             # used by the real loss's projection, copenet_twoview.py:300-306)
@@ -427,7 +437,8 @@ def main(argv=None):
 
                 def _fin(ds, idx, rng_np, det, key):
                     hb = ds.host_batch(idx, rng_np, swap_cams=not det)
-                    return finish_batch(hb, key, deterministic=det)
+                    return finish_batch(hb, key, deterministic=det,
+                                        out_size=cfg.img_res)
 
                 def fin_train(idx, rng_np, key):
                     return _fin(tr, idx, rng_np, False, key)
@@ -458,7 +469,8 @@ def main(argv=None):
                     hb = ds.host_batch(abs_idx, rng_np, swap_cams=not det)
                     hb = twoview_gt_from_smpl(hb, smplx_params, ds=ds,
                                               indices=abs_idx)
-                    return finish_batch(hb, key, deterministic=det)
+                    return finish_batch(hb, key, deterministic=det,
+                                        out_size=cfg.img_res)
 
                 def fin_train(idx, rng_np, key):
                     return _fin(list(idx), rng_np, False, key)
@@ -487,7 +499,8 @@ def main(argv=None):
                     hb["gt_vertices"] = gt["vertices"]
                     hb["gt_joints"] = gt["joints"]
                     hb["gt_j2d"] = hb["gt_j2d"][:, :, :22]
-                    return finish_batch(hb, key, deterministic=det)
+                    return finish_batch(hb, key, deterministic=det,
+                                        out_size=cfg.img_res)
 
                 def fin_train(idx, rng_np, key):
                     return _fin(tr, idx, rng_np, False, key)
@@ -587,6 +600,89 @@ def main(argv=None):
             model, init_args, jax.random.PRNGKey(cfg.seed), lr=cfg.lr,
             train_reg_only=cfg.train_reg_only,
         )
+
+        # ---- warm starts (BEFORE the step fns: --qat_act_frozen below
+        # calibrates activation scales on the warm-started weights, the
+        # same procedure deployment calibration runs on a trained ckpt) --
+        if args.imagenet_ckpt:
+            from .checkpoint import load_imagenet_resnet50, warm_start_trunks
+
+            trunk = load_imagenet_resnet50(args.imagenet_ckpt)
+            p, bs = warm_start_trunks(
+                state.params, state.batch_stats, trunk, cfg.model)
+            state = state.replace(params=p, batch_stats=bs)
+            print(f"warm-started trunk(s) from {args.imagenet_ckpt}")
+        if args.pretrained_checkpoint:
+            # Template-free restore (load_model_variables): the synthetic
+            # pretrain's opt_state (plain amsgrad) does NOT match a
+            # --train_reg_only fine-tune's multi_transform template, and a
+            # reference README fine-tune may even hand a Lightning .ckpt
+            # (ref README.md:117-124 resumes real training from the
+            # synthetic checkpoint). Warm start takes params + batch stats
+            # only; step counter and optimizer state stay fresh.
+            from flax.core import unfreeze
+
+            from .checkpoint import load_model_variables
+
+            path = os.path.abspath(args.pretrained_checkpoint)
+            kind = "ckpt" if os.path.isdir(path) else "torch_ckpt"
+            _, restored = load_model_variables(cfg.model, **{kind: path})
+            try:
+                shapes_ok = all(jax.tree.leaves(jax.tree.map(
+                    lambda a, b: np.shape(a) == np.shape(b),
+                    unfreeze(state.params), unfreeze(restored["params"]))))
+            except ValueError:
+                shapes_ok = False  # tree structures differ
+            if not shapes_ok:
+                raise SystemExit(
+                    f"--pretrained_checkpoint {path} holds a different "
+                    f"param tree than --model {cfg.model} — wrong model "
+                    "family for this warm start")
+            state = state.replace(
+                params=restored["params"],
+                batch_stats=restored["batch_stats"],
+            )
+            print(f"warm-started from {path} ({kind})")
+
+        if args.qat_act_frozen:
+            # Frozen calibrated activation scales: train through the
+            # DEPLOYED grid (static per-site steps, clipping included)
+            # instead of dynamic per-batch abs-max — closes the
+            # train/deploy scale mismatch of plain --qat_act. Calibration
+            # mirrors deployment (int8_trunk.calibrate_act_scales on the
+            # current weights over the first batch's crops).
+            if not cfg.qat_act:
+                raise SystemExit("--qat_act_frozen requires --qat_act")
+            from ..ops.int8_trunk import (calibrate_act_scales,
+                                          quantize_trunk_params)
+
+            calib_vars = {
+                "params": jax.device_get(state.params),
+                "batch_stats": jax.device_get(state.batch_stats),
+            }
+            imgs = jnp.asarray(sample["images"])
+            if "trunk" in state.params:  # shared trunk: fold views
+                flat = imgs.reshape((-1,) + imgs.shape[-3:])
+                table = {
+                    k: float(v) for k, v in calibrate_act_scales(
+                        quantize_trunk_params(calib_vars), flat).items()
+                }
+                act_fq = (cfg.qat_levels, table)
+                n_sites, n_crops = len(table), flat.shape[0]
+            else:  # _sep: each per-drone trunk calibrates on ITS view
+                tabs = []
+                for v, tk in enumerate(("trunk0", "trunk1")):
+                    sc = calibrate_act_scales(
+                        quantize_trunk_params(calib_vars, tk), imgs[:, v])
+                    tabs.append({k: float(x) for k, x in sc.items()})
+                act_fq = (cfg.qat_levels, tuple(tabs))
+                n_sites = sum(len(t) for t in tabs)
+                n_crops = imgs.shape[0] * 2
+            model = model_cls(iters=cfg.reg_iters, dtype=jnp.bfloat16,
+                              act_fq=act_fq)
+            print(f"frozen activation-QAT: {n_sites} per-site scales "
+                  f"calibrated on {n_crops} crops")
+
         vmask = None
         if args.body_only_verts:
             from ..bodymodel.vertex_ids import load_body_vertex_mask
@@ -619,7 +715,13 @@ def main(argv=None):
                       "prior. Real fine-tuning results will be meaningless — "
                       "pass the released V02_05 snapshot for the reference's "
                       "self-supervised objective.", flush=True)
-                vposer_params = init_vposer_params(cfg.seed)
+                # seed 0, NOT cfg.seed: eval/compile_results and the BA CLI
+                # build their placeholder prior with init_vposer_params(0);
+                # a fine-tune optimizing its latent term against a
+                # DIFFERENT random prior than the one eval judges under
+                # reads as regression (caught by the rehearsal's fine-tune
+                # stage) — one shared placeholder keeps the chain coherent
+                vposer_params = init_vposer_params(0)
             if cfg.model in ("copenet_twoview", "copenet_twoview_sep"):
                 train_step, eval_step = make_real_twoview_step_fns(
                     model, smplx_params, vposer_params, cfg, tx
@@ -692,27 +794,8 @@ def main(argv=None):
             else:
                 train_step, eval_step = base_train, base_eval
 
-        # ---- checkpoints: resume or warm start ----
+        # ---- checkpoints: resume ----
         ckpts = CheckpointManager(os.path.join(run_dir, "checkpoints"))
-        if args.imagenet_ckpt:
-            from .checkpoint import load_imagenet_resnet50, warm_start_trunks
-
-            trunk = load_imagenet_resnet50(args.imagenet_ckpt)
-            p, bs = warm_start_trunks(
-                state.params, state.batch_stats, trunk, cfg.model)
-            state = state.replace(params=p, batch_stats=bs)
-            print(f"warm-started trunk(s) from {args.imagenet_ckpt}")
-        if args.pretrained_checkpoint:
-            import orbax.checkpoint as ocp
-
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(args.pretrained_checkpoint), state
-            )
-            # warm start: take params + batch stats, keep a fresh step counter
-            # and optimizer state (the objective may differ — fine-tune)
-            state = state.replace(
-                params=restored.params, batch_stats=restored.batch_stats
-            )
         state = ckpts.auto_resume(state)
         start_step = int(jax.device_get(state.step))
 

@@ -459,3 +459,34 @@ def test_eval_tail_loss_is_exact_masked_mean(rng):
     np.testing.assert_allclose(float(loss4), float(loss3), rtol=1e-5)
     np.testing.assert_allclose(float(m4["loss_keypoints"]),
                                float(m3["loss_keypoints"]), rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_compile_results_restores_reg_only_checkpoint(tmp_path, capsys):
+    """The eval CLI must restore a --train_reg_only fine-tune checkpoint
+    (multi_transform opt_state — the variant a TrainState-template restore
+    rejects; the round-2 server defect resurfaced in eval, caught by the
+    rehearsal's synthetic→real fine-tune stage in r4). Template-free
+    loading makes eval accept any checkpoint this framework writes."""
+    from airpose_tpu.eval.compile_results import main
+    from airpose_tpu.models import MODEL_REGISTRY, family_init_args
+    from airpose_tpu.train.checkpoint import CheckpointManager
+    from airpose_tpu.train.state import create_train_state
+
+    model = MODEL_REGISTRY["copenet_twoview"]()
+    state, _ = create_train_state(
+        model, family_init_args("copenet_twoview", 1, 64),
+        jax.random.PRNGKey(3), lr=5e-5, train_reg_only=True,
+    )
+    ckpt_dir = str(tmp_path / "ckpts")
+    CheckpointManager(ckpt_dir).save(state, "last")
+
+    out_pkl = str(tmp_path / "res.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", "synthetic://4",
+        "--ckpt", os.path.join(ckpt_dir, "last"), "--out", out_pkl,
+        "--batch_size", "2", "--img_res", "64",
+    ])
+    printed = capsys.readouterr().out
+    assert "test_mpjpe0" in printed
+    assert os.path.exists(out_pkl + ".metrics.json")

@@ -18,11 +18,15 @@ def test_dress_rehearsal_end_to_end(tmp_path):
     summary = run(
         str(tmp_path / "wd"), steps=2, frames=4, subjects=2,
         img_res=64, ba_iters=(2, 3), verts=60, batch_size=2,
+        ft_steps=8,  # below the demonstration budget: stage 7's
+        #              loss-improvement assert arms at >= 24 steps (the
+        #              default CLI run); here it records, like BA stage 2
     )
 
     # every stage reported
     for key in ("train_best_val", "converter_roundtrip_max_err",
-                "synth_bf16", "synth_int8", "real", "ba_stage1_first",
+                "synth_bf16", "synth_int8", "real", "real_ft",
+                "ba_stage1_first",
                 "ba_stage1_final", "ba_loss_final",
                 "benchtest_absdiff_pose_m1", "benchtest_served_fps",
                 "h36m"):
@@ -35,6 +39,10 @@ def test_dress_rehearsal_end_to_end(tmp_path):
     assert np.isfinite(summary["synth_bf16"]["mpjpe0"])
     assert np.isfinite(summary["synth_int8"]["mpjpe0"])
     assert np.isfinite(summary["real"]["crossview_consistency"])
+    # stage 7 (synthetic→real fine-tune) ran and evaluated; the
+    # improvement assert itself arms only at demonstration budget
+    assert np.isfinite(summary["real_ft"]["loss"])
+    assert np.isfinite(summary["real_ft"]["crossview_consistency"])
     # stage-1 (z frozen) is the prior-independent health signal; full
     # descent at real iteration counts is proven in test_bundle_adjust,
     # and stage 2 optimizes through the rehearsal's RANDOM VPoser
