@@ -90,7 +90,50 @@ def ensure_client_built(targets=("airpose_client",)) -> bool:
                        check=True, capture_output=True)
     except subprocess.CalledProcessError:
         return False
+    # drop cmake's compiler-id probe SOURCES: they are generated C++ that
+    # line counters mistake for project code (they sit under the
+    # gitignored build dir; the cmake cache does not need them after
+    # configure)
+    import glob
+
+    for probe in glob.glob(os.path.join(
+            build, "CMakeFiles", "*", "CompilerId*", "CMake*CompilerId.cpp")):
+        os.unlink(probe)
     return _all_built()
+
+
+def _spawn_server_procs(ports: List[int], n_frames: int,
+                        server_cli_args: List[str]):
+    """Two `python -m airpose_tpu.serve.server` OS processes — the
+    reference's actual deployment topology (one server per drone machine,
+    ref README.md:221-223) instead of two coroutines on one event loop.
+    Servers are pinned to CPU (two processes cannot share the one TPU) and
+    exit on their own after ``n_frames`` via --max-frames. Returns
+    (procs, log_paths)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH — clobbering it silently kills the container's
+    # TPU-plugin registration for every later subprocess (CLAUDE.md)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs, logs = [], []
+    for port, peer, rid in ((ports[0], ports[1], 1),
+                            (ports[1], ports[0], 2)):
+        fd, log = tempfile.mkstemp(suffix=f"_server{rid}.log")
+        logs.append(log)
+        cmd = [sys.executable, "-m", "airpose_tpu.serve.server",
+               "--port", str(port), "--peer-port", str(peer),
+               "--robot-id", str(rid), "--platform", "cpu",
+               "--max-frames", str(n_frames)] + list(server_cli_args)
+        procs.append(subprocess.Popen(
+            cmd, stdout=fd, stderr=subprocess.STDOUT, env=env, cwd=repo))
+        os.close(fd)
+    return procs, logs
 
 
 def run_benchtest(
@@ -103,6 +146,7 @@ def run_benchtest(
     measure_rate: bool = False,
     rate_warmup: int = 4,
     native_roi=None,
+    server_cli_args=None,
 ) -> Dict[str, float]:
     """Replay every frame of ``batches`` (finished real eval batches) through
     two live servers, then compare step3 wire results against the fused
@@ -153,29 +197,39 @@ def run_benchtest(
     n = len(imgs_u8)
     init_trans = np.asarray([0.0, 0.0, 10.0], np.float32)
 
-    # ---- servers (in-process, one event loop thread) ----
+    # ---- servers: in-process event loop OR separate OS processes ----
     ports = _free_ports(2)
-    loop = asyncio.new_event_loop()
-
     serve_error: List[Exception] = []
+    loop = server_thread = None
+    procs, proc_logs = [], []
+    if server_cli_args is not None:
+        procs, proc_logs = _spawn_server_procs(ports, n, server_cli_args)
 
-    def serve():
-        try:
-            asyncio.set_event_loop(loop)
-            regs = (
-                [StagedRegressor(variables, sep_view=v, int8=int8)
-                 for v in (0, 1)]
-                if sep else
-                [StagedRegressor(variables, int8=int8) for _ in (0, 1)]
-            )
-            loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
-            loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
-            loop.run_forever()
-        except BaseException as e:  # surfaced to the clients below
-            serve_error.append(e)
+        def _server_died():
+            return any(p.poll() not in (None, 0) for p in procs)
+    else:
+        loop = asyncio.new_event_loop()
 
-    server_thread = threading.Thread(target=serve, daemon=True)
-    server_thread.start()
+        def serve():
+            try:
+                asyncio.set_event_loop(loop)
+                regs = (
+                    [StagedRegressor(variables, sep_view=v, int8=int8)
+                     for v in (0, 1)]
+                    if sep else
+                    [StagedRegressor(variables, int8=int8) for _ in (0, 1)]
+                )
+                loop.create_task(run_server(regs[0], 1, ports[0], peer_port=ports[1]))
+                loop.create_task(run_server(regs[1], 2, ports[1], peer_port=ports[0]))
+                loop.run_forever()
+            except BaseException as e:  # surfaced to the clients below
+                serve_error.append(e)
+
+        def _server_died():
+            return bool(serve_error)
+
+        server_thread = threading.Thread(target=serve, daemon=True)
+        server_thread.start()
     import time
 
     time.sleep(startup_wait)
@@ -194,7 +248,7 @@ def run_benchtest(
             try:
                 return socket.create_connection(("127.0.0.1", port), timeout=60)
             except OSError:
-                if serve_error or time.time() > deadline:
+                if _server_died() or time.time() > deadline:
                     raise
                 time.sleep(0.25)
 
@@ -319,26 +373,46 @@ def run_benchtest(
             "benchtest client thread still running after 600 s join — "
             "aborting instead of reporting diffs against unfinished "
             "served results"))
-    # graceful shutdown: cancel the server coroutines BEFORE stopping the
-    # loop, then close it from its own thread — a bare stop() leaves
-    # client_loop tasks awaiting q.get() on a closed loop (the "Event loop
-    # is closed" unraisable in test runs)
-    async def _shutdown():
-        tasks = [t for t in asyncio.all_tasks(loop)
-                 if t is not asyncio.current_task()]
-        for task in tasks:
-            task.cancel()
-        # wait (bounded) for the cancellations to finish their cleanup —
-        # closing the TCP servers takes extra loop iterations; the bound
-        # keeps a stuck handler from leaving the loop running forever
-        if tasks:
-            await asyncio.wait(tasks, timeout=5)
-        loop.stop()
+    if procs:
+        # --max-frames n makes each server exit on its own once its replay
+        # is served; a nonzero exit (or a forced kill) surfaces its log
+        import os
 
-    asyncio.run_coroutine_threadsafe(_shutdown(), loop)
-    server_thread.join(timeout=10)
-    if not loop.is_running() and not loop.is_closed():
-        loop.close()
+        for rid, p in enumerate(procs, start=1):
+            try:
+                rc = p.wait(timeout=120)
+            except Exception:
+                p.kill()
+                rc = p.wait()
+            if rc != 0:
+                with open(proc_logs[rid - 1]) as f:
+                    tail = f.read()[-2000:]
+                errors.append(RuntimeError(
+                    f"server process {rid} exited {rc}:\n{tail}"))
+        for log in proc_logs:
+            if os.path.exists(log):
+                os.unlink(log)
+    else:
+        # graceful shutdown: cancel the server coroutines BEFORE stopping
+        # the loop, then close it from its own thread — a bare stop()
+        # leaves client_loop tasks awaiting q.get() on a closed loop (the
+        # "Event loop is closed" unraisable in test runs)
+        async def _shutdown():
+            tasks = [t for t in asyncio.all_tasks(loop)
+                     if t is not asyncio.current_task()]
+            for task in tasks:
+                task.cancel()
+            # wait (bounded) for the cancellations to finish their cleanup
+            # — closing the TCP servers takes extra loop iterations; the
+            # bound keeps a stuck handler from leaving the loop forever
+            if tasks:
+                await asyncio.wait(tasks, timeout=5)
+            loop.stop()
+
+        asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+        server_thread.join(timeout=10)
+        if not loop.is_running() and not loop.is_closed():
+            loop.close()
     if serve_error:
         raise RuntimeError("benchtest server failed") from serve_error[0]
     if errors:
@@ -402,6 +476,15 @@ def main(argv=None):
                         "post-warmup; the reference's 4-FPS counterpart)")
     p.add_argument("--rate-warmup", type=int, default=4,
                    help="frames excluded from --rate (jit compilation)")
+    p.add_argument("--rate-procs", action="store_true",
+                   help="serve from two SEPARATE OS processes (python -m "
+                        "airpose_tpu.serve.server, CPU-pinned — two "
+                        "processes cannot share the one TPU) instead of "
+                        "two coroutines in this process: the reference's "
+                        "actual deployment topology (one server per drone "
+                        "machine, ref README.md:221-223). Use with --rate "
+                        "to measure served FPS without the in-process "
+                        "device-call overlap win")
     p.add_argument("--native-roi", action="store_true",
                    help="replay through the NATIVE C++ clients in ROI mode "
                         "(full frames + crop boxes over stdin; the clients "
@@ -436,11 +519,26 @@ def main(argv=None):
 
     B = min(args.batch_size, len(ds))
     batches = list(real_batches(ds, B, out_size=args.img_res))
+    server_cli_args = None
+    if args.rate_procs:
+        import os
+
+        server_cli_args = ["--model", args.model]
+        if args.ckpt:
+            server_cli_args += ["--ckpt", os.path.abspath(args.ckpt)]
+        if args.torch_ckpt:
+            server_cli_args += ["--torch-ckpt",
+                                os.path.abspath(args.torch_ckpt)]
+        if args.random_init:
+            server_cli_args += ["--random-init"]
+        if args.int8:
+            server_cli_args += ["--int8"]
     diffs = run_benchtest(
         variables, batches, model=model,
         sep=args.model == "copenet_twoview_sep", int8=args.int8,
         measure_rate=args.rate, rate_warmup=args.rate_warmup,
         native_roi=ds if args.native_roi else None,
+        server_cli_args=server_cli_args,
     )
     for k, v in diffs.items():
         if k == "served_fps":

@@ -374,8 +374,11 @@ async def run_server(
 
     tcp = await asyncio.start_server(on_connect, "127.0.0.1", port)
 
-    if peer_port and robot_id <= 1:  # lower id dials the peer
-        for _ in range(200):
+    # lower id dials the peer; the window covers a peer process that is
+    # still importing/compiling at its own startup (separate-process
+    # topology, benchtest --rate-procs)
+    if peer_port and robot_id <= 1:
+        for _ in range(600):
             try:
                 reader, writer = await asyncio.open_connection(peer_host, peer_port)
                 server.peer_writer = writer
