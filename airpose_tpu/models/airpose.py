@@ -350,11 +350,18 @@ class AirPoseTwoViewSep(nn.Module):
 
     iters: int = 3
     dtype: Any = jnp.float32
-    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s)
+    act_fq: Any = None  # activation-QAT grid, threaded to the trunk(s);
+    #                     (levels, (table0, table1)) gives each per-drone
+    #                     trunk its OWN frozen calibrated scale table
 
     def setup(self):
-        self.trunk0 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
-        self.trunk1 = ResNet50(dtype=self.dtype, act_fq=self.act_fq)
+        fq0 = fq1 = self.act_fq
+        if (isinstance(self.act_fq, tuple)
+                and isinstance(self.act_fq[1], (tuple, list))):
+            levels, (t0, t1) = self.act_fq
+            fq0, fq1 = (levels, t0), (levels, t1)
+        self.trunk0 = ResNet50(dtype=self.dtype, act_fq=fq0)
+        self.trunk1 = ResNet50(dtype=self.dtype, act_fq=fq1)
         self.core0 = RegressorCore(
             head_dims=(135, 10), head_names=("decpose", "decshape")
         )

@@ -23,7 +23,12 @@ class Bottleneck(nn.Module):
 
     ``act_fq``: STE fake-quant grid for activation-QAT — applied to the
     input of every conv, the exact points the deployed int8 trunk
-    quantizes activations (ops/int8_trunk._qconv); None = off."""
+    quantizes activations (ops/int8_trunk._qconv); None = off. Either a
+    float grid (dynamic per-batch abs-max scales) or a
+    ``(levels, scales_dict)`` pair with FROZEN calibrated per-site steps
+    keyed like int8_trunk.calibrate_act_scales output
+    ('layer1_0/conv1' … '/proj') — training then sees the deployed grid
+    exactly, clipping included."""
 
     planes: int
     stride: int = 1
@@ -46,17 +51,23 @@ class Bottleneck(nn.Module):
         if self.act_fq is not None:
             from ..ops.qat import fake_quant_act
 
-            def fq(t):
-                return fake_quant_act(t, self.act_fq)
+            if isinstance(self.act_fq, tuple):
+                levels, scales = self.act_fq
+            else:
+                levels, scales = self.act_fq, None
+
+            def fq(t, site):
+                s = None if scales is None else scales[f"{self.name}/{site}"]
+                return fake_quant_act(t, levels, scale=s)
         else:
-            def fq(t):
+            def fq(t, site):
                 return t
         # the identity shortcut carries the UNQUANTIZED activation, exactly
         # like the deployed int8 trunk (int8_trunk: `res = h` dequantized);
         # only conv inputs see the grid
         residual = x
-        x = fq(x)
-        y = conv(self.planes, (1, 1), name="conv1")(x)
+        xq = fq(x, "conv1")
+        y = conv(self.planes, (1, 1), name="conv1")(xq)
         y = norm(name="bn1")(y)
         y = nn.relu(y)
         y = conv(
@@ -65,18 +76,22 @@ class Bottleneck(nn.Module):
             strides=(self.stride, self.stride),
             padding=((1, 1), (1, 1)),
             name="conv2",
-        )(fq(y))
+        )(fq(y, "conv2"))
         y = norm(name="bn2")(y)
         y = nn.relu(y)
-        y = conv(self.planes * 4, (1, 1), name="conv3")(fq(y))
+        y = conv(self.planes * 4, (1, 1), name="conv3")(fq(y, "conv3"))
         y = norm(name="bn3")(y)
         if self.project:
+            # the projection quantizes the SAME input tensor under its own
+            # calibrated step, exactly like the deployed '{block}/proj'
+            # site (identical to conv1's fq in dynamic mode: same tensor,
+            # same abs-max)
             residual = conv(
                 self.planes * 4,
                 (1, 1),
                 strides=(self.stride, self.stride),
                 name="downsample_conv",
-            )(x)
+            )(fq(x, "proj"))
             residual = norm(name="downsample_bn")(residual)
         return nn.relu(y + residual)
 

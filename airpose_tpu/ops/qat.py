@@ -56,16 +56,25 @@ def fake_quant_weight(k: jnp.ndarray, levels: float = 127.0) -> jnp.ndarray:
     return k + jax.lax.stop_gradient(q - k)
 
 
-def fake_quant_act(x: jnp.ndarray, levels: float = 127.0) -> jnp.ndarray:
-    """Per-tensor symmetric STE fake-quant of an activation. Dynamic
-    abs-max scale (stop-gradded), the train-time analogue of the deployed
-    static calibrated per-tensor scale; grid formula ≡
-    int8_trunk._quantize_act. Keeps the input dtype (the trunk carries
-    bf16 between ops) but quantizes in f32 — bf16 ulp at 127 is ~0.5."""
+def fake_quant_act(x: jnp.ndarray, levels: float = 127.0,
+                   scale=None) -> jnp.ndarray:
+    """Per-tensor symmetric STE fake-quant of an activation.
+
+    ``scale=None``: dynamic abs-max scale (stop-gradded), the train-time
+    analogue of the deployed static calibrated per-tensor scale; grid
+    formula ≡ int8_trunk._quantize_act. ``scale`` given: the FROZEN
+    calibrated step (int8_trunk.calibrate_act_scales output) — training
+    then sees the deployed grid exactly, including its CLIPPING at
+    ±levels·scale, which dynamic abs-max never models. Keeps the input
+    dtype (the trunk carries bf16 between ops) but quantizes in f32 —
+    bf16 ulp at 127 is ~0.5."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(
-        jax.lax.stop_gradient(jnp.max(jnp.abs(xf))) / levels, 1e-12
-    )
+    if scale is None:
+        s = jnp.maximum(
+            jax.lax.stop_gradient(jnp.max(jnp.abs(xf))) / levels, 1e-12
+        )
+    else:
+        s = jnp.maximum(jnp.asarray(scale, jnp.float32), 1e-12)
     q = jnp.clip(jnp.round(xf / s), -levels, levels) * s
     return (xf + jax.lax.stop_gradient(q - xf)).astype(x.dtype)
 

@@ -211,16 +211,25 @@ def test_fake_quant_act_frozen_scale_matches_deployed_and_clips(rng):
 
 
 @pytest.mark.slow
-def test_qat_act_frozen_scales_recover_clipping_damage(rng):
-    """The frozen-calibrated-scale posture end to end: deployment-style
-    per-site scales (int8_trunk.calibrate_act_scales) deliberately
-    under-calibrated (×0.02 → heavy clipping; the fixture model tolerates mild clipping, measured in r4) damage the trained model's
-    frozen-grid forward; fine-tuning THROUGH the same frozen grid
-    (act_fq=(levels, scales)) recovers most of the damage. This is the
-    scenario dynamic abs-max QAT cannot even represent — its scale tracks
-    the batch, so nothing ever clips at train time."""
+def test_qat_act_frozen_beats_dynamic_under_deployed_grid(rng):
+    """The frozen-calibrated-scale posture, judged where it matters: from
+    one pre-trained state, fine-tune two arms for the SAME step budget —
+    dynamic abs-max (--qat_act) vs frozen deployment-calibrated scales
+    (--qat_act_frozen) — and evaluate both under the DEPLOYED int8 trunk
+    with the same static table. The frozen arm must win: its train-time
+    forward IS the deployed grid, while the dynamic arm's scales track
+    each batch and never exactly match the grid it ships on (measured 30%
+    lower deployed eval loss, PERF.md r4; tools/qat_posture.py is the
+    standalone version of this experiment).
+
+    Deliberately NOT a clipping-recovery test: mild table shrink measures
+    NEGATIVE damage on this fixture and deep shrink (×0.02-0.05) makes
+    STE training diverge (r4 probes, PERF.md) — clipping calls for
+    recalibration, not QAT."""
     from airpose_tpu.ops.int8_trunk import (calibrate_act_scales,
-                                            quantize_trunk_params)
+                                            quantize_trunk_params,
+                                            twoview_int8_forward)
+    from airpose_tpu.train import losses as L
 
     smplx_small = synthetic_smplx_params(num_vertices=222, seed=3)
     dataset = make_synthetic_dataset(
@@ -233,48 +242,62 @@ def test_qat_act_frozen_scales_recover_clipping_damage(rng):
     state, tx = create_train_state(
         model, (batch["images"], batch["bb"], in_trans),
         jax.random.PRNGKey(0), lr=cfg.lr)
-    train_step, eval_step = make_twoview_step_fns(model, smplx_small, cfg, tx)
+    train_step, _ = make_twoview_step_fns(model, smplx_small, cfg, tx)
 
     key = jax.random.PRNGKey(42)
     for _ in range(15):  # plain pre-training
         key, sub = jax.random.split(key)
         state, _ = train_step(state, batch, sub)
-    bf16_loss = float(eval_step(state, batch)[0]["loss"])
 
-    # deployment-style calibration on the trained weights, then shrink the
-    # steps to force clipping (the bad-calibration regime)
-    variables = {
-        "params": jax.device_get(state.params),
-        "batch_stats": jax.device_get(state.batch_stats),
-    }
-    imgs = jnp.asarray(batch["images"]).reshape(-1, 64, 64, 3)
-    scales = calibrate_act_scales(quantize_trunk_params(variables), imgs)
-    bad = {k: float(v) * 0.02 for k, v in scales.items()}
+    def host_vars(st):
+        return {"params": jax.device_get(st.params),
+                "batch_stats": jax.device_get(st.batch_stats)}
 
-    model_fz = MODEL_REGISTRY["copenet_twoview"](
-        iters=cfg.reg_iters, act_fq=(127.0, bad))
-    fz_train_step, fz_eval_step = make_twoview_step_fns(
-        model_fz, smplx_small, cfg, tx)
-    clip_loss = float(fz_eval_step(state, batch)[0]["loss"])
-    damage = clip_loss - bf16_loss
-    assert damage > 0.05 * bf16_loss, (
-        "fixture no longer shows clipping damage", bf16_loss, clip_loss)
+    imgs = jnp.asarray(batch["images"])
+    table = calibrate_act_scales(
+        quantize_trunk_params(host_vars(state)),
+        imgs.reshape((-1,) + imgs.shape[-3:]))
+    table = {k: float(v) for k, v in table.items()}
 
-    for _ in range(20):  # fine-tune THROUGH the frozen (clipping) grid
-        key, sub = jax.random.split(key)
-        state, _ = fz_train_step(state, batch, sub)
-    rec_loss = float(fz_eval_step(state, batch)[0]["loss"])
-    assert rec_loss < bf16_loss + 0.5 * damage, (
-        bf16_loss, clip_loss, rec_loss)
-    assert np.isfinite(rec_loss)
+    def deployed_loss(st):
+        variables = host_vars(st)
+        qp = quantize_trunk_params(variables)
+        t = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 10.0], jnp.float32) * cfg.trans_scale,
+            batch["gt_trans"].shape)
+        out = twoview_int8_forward(
+            model, variables, qp, table, imgs, jnp.asarray(batch["bb"]), t,
+            iters=cfg.reg_iters)
+        loss, _ = L.twoview_loss(out.pose, out.betas, batch, smplx_small,
+                                 cfg.loss, cfg.trans_scale)
+        return float(loss)
+
+    ptq_loss = deployed_loss(state)
+    arms = {}
+    for name, act_fq in (("dynamic", 127.0), ("frozen", (127.0, table))):
+        m = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters,
+                                              act_fq=act_fq)
+        ft_step, _ = make_twoview_step_fns(m, smplx_small, cfg, tx)
+        # per-arm copy: train_step donates its state argument
+        st, k = jax.tree.map(jnp.copy, state), jax.random.PRNGKey(7)
+        for _ in range(20):
+            k, sub = jax.random.split(k)
+            st, _ = ft_step(st, batch, sub)
+        arms[name] = deployed_loss(st)
+
+    assert np.isfinite(arms["frozen"]) and np.isfinite(arms["dynamic"])
+    assert arms["frozen"] < arms["dynamic"], (ptq_loss, arms)
+    assert arms["frozen"] < ptq_loss, (ptq_loss, arms)
 
 
 @pytest.mark.slow
-def test_trainer_cli_qat_act_frozen_smoke(tmp_path):
+@pytest.mark.parametrize("family", ["copenet_twoview", "copenet_twoview_sep"])
+def test_trainer_cli_qat_act_frozen_smoke(tmp_path, family):
     """--qat --qat_act --qat_act_frozen end to end through the trainer CLI:
     calibrates per-site scales on the first batch and trains through the
     frozen grid (the wiring + site-key-naming check — a mismatched key
-    KeyErrors at trace time)."""
+    KeyErrors at trace time). The _sep family calibrates each per-drone
+    trunk on its OWN view's crops (104 sites total vs the shared 52)."""
     import contextlib
     import io
     import os
@@ -284,12 +307,15 @@ def test_trainer_cli_qat_act_frozen_smoke(tmp_path):
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         main([
-            "--name", "qat_fz", "--version", "0", "--model",
-            "copenet_twoview", "--datapath", "synthetic://8", "--log_dir",
+            "--name", "qat_fz", "--version", "0", "--model", family,
+            "--datapath", "synthetic://8", "--log_dir",
             str(tmp_path), "--batch_size", "4", "--val_batch_size", "4",
             "--max_steps", "2", "--val_every", "2", "--img_res", "64",
             "--qat", "--qat_act", "--qat_act_frozen",
         ])
-    assert "frozen activation-QAT" in buf.getvalue()
+    out = buf.getvalue()
+    assert "frozen activation-QAT" in out
+    n_sites = 104 if family == "copenet_twoview_sep" else 52
+    assert f"{n_sites} per-site scales" in out
     assert os.path.exists(
         str(tmp_path / "qat_fz" / "version_0" / "checkpoints" / "last"))
