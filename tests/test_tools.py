@@ -304,3 +304,77 @@ def test_hdf5_real_export(tmp_path):
         # keypoints/paths stay machine-wise regardless of pinning
         paths = [p.decode() for p in f["im0_test"][...]]
         assert paths[0].endswith("machine_1/images/000004.jpg")
+
+
+@pytest.mark.slow
+def test_parity_run_fixture_bundle(tmp_path, capsys):
+    """The released-asset parity runner (tools/parity_run.py) exercised on
+    a self-generated 'released-like' bundle: a trained fixture checkpoint
+    exported to the reference .ckpt layout + a precalculated-results pkl
+    in the res_compile layout. The runner must convert, evaluate, align,
+    and report ≈0 field diffs and ≈0 metric deltas — proving the chain is
+    turnkey for the real assets (BASELINE.md north star)."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main as compile_main
+    from airpose_tpu.tools.create_aerialpeople import main as create_main
+    from airpose_tpu.tools.parity_run import load_precalc
+    from airpose_tpu.tools.parity_run import main as parity_main
+    from airpose_tpu.train.checkpoint import (convert_ckpt_file_to_orbax,
+                                              export_reference_checkpoint,
+                                              load_model_variables)
+    from airpose_tpu.train.trainer import main as train_main
+
+    data = str(tmp_path / "aerial")
+    create_main(["--out", data, "--subjects", "2", "--poses-per-subject",
+                 "2", "--num-vertices", "60", "--render-blobs"])
+    logs = str(tmp_path / "logs")
+    train_main([
+        "--name", "p", "--version", "0", "--model", "copenet_twoview",
+        "--datapath", data, "--log_dir", logs, "--batch_size", "2",
+        "--val_batch_size", "2", "--max_steps", "2", "--val_every", "2",
+        "--img_res", "64", "--data_workers", "1",
+    ])
+    ckpt = os.path.join(logs, "p", "version_0", "checkpoints", "last")
+
+    # "released" bundle: reference-layout .ckpt + precalc pkl from an
+    # eval of those same weights
+    _, trained = load_model_variables("copenet_twoview", ckpt=ckpt)
+    released_ckpt = str(tmp_path / "released.ckpt")
+    export_reference_checkpoint(trained, "copenet_twoview", released_ckpt)
+    conv = str(tmp_path / "conv")
+    convert_ckpt_file_to_orbax(released_ckpt, "copenet_twoview", conv)
+    precalc = str(tmp_path / "precalc.pkl")
+    compile_main([
+        "--model", "copenet_twoview", "--ckpt", conv, "--datapath", data,
+        "--split", "test", "--out", precalc, "--batch_size", "2",
+        "--img_res", "64", "--synthetic_verts", "60",
+    ])
+    capsys.readouterr()
+
+    report = parity_main([
+        "--model", "copenet_twoview", "--torch-ckpt", released_ckpt,
+        "--precalc", precalc, "--datapath", data,
+        "--synthetic_verts", "60", "--workdir", str(tmp_path / "parity"),
+        "--batch_size", "2", "--img_res", "64",
+    ])
+    out = capsys.readouterr().out
+    assert "parity report" in out
+    # same weights, same eval → every shared prediction field matches
+    for k in ("pred_angles0", "pred_smpltrans1", "pred_betas0"):
+        assert report["fields"][k]["max_abs"] < 1e-5, (k, report["fields"][k])
+    assert report["n_ours"] == report["n_precalc"]
+    # and the metric recompute from the precalc side lands on our numbers
+    for k, d in report["metric_deltas"].items():
+        assert abs(d) < 1e-4, (k, d)
+    assert os.path.exists(str(tmp_path / "parity" / "parity_report.json"))
+
+    # loud contract validation: a precalc missing required fields raises
+    bad = str(tmp_path / "bad.pkl")
+    with open(precalc, "rb") as f:
+        res = pickle.load(f)
+    for b in res[0]:
+        del b["output"]["pred_angles0"]
+    with open(bad, "wb") as f:
+        pickle.dump(res, f)
+    with pytest.raises(ValueError, match="missing.*pred_angles0"):
+        load_precalc(bad)
