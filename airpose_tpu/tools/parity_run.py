@@ -43,13 +43,19 @@ import pickle
 
 import numpy as np
 
-# the reference res-contract fields every released precalc pkl carries
-# (copenet_synth_res_compile.py commented compile block, :96-120)
-REQUIRED_OUTPUT_KEYS = (
-    "pred_angles0", "pred_angles1",
-    "pred_smpltrans0", "pred_smpltrans1",
-    "pred_betas0", "pred_betas1",
-)
+# the reference res-contract fields a released precalc pkl carries
+# (copenet_synth_res_compile.py commented compile block, :96-120). The
+# two-view families suffix per view; the single-view families
+# (hmr/copenet_singleview; muhmr's compile keeps view 0) do not.
+REQUIRED_OUTPUT_KEYS = {
+    "twoview": ("pred_angles0", "pred_angles1", "pred_smpltrans0",
+                "pred_smpltrans1", "pred_betas0", "pred_betas1"),
+    "single": ("pred_angles", "pred_smpltrans", "pred_betas"),
+}
+
+
+def family_kind(model: str) -> str:
+    return "twoview" if model == "copenet_twoview" else "single"
 
 
 def _np(t):
@@ -60,7 +66,8 @@ def _np(t):
     return np.asarray(t)
 
 
-def load_precalc(path: str, split_index: int = 0):
+def load_precalc(path: str, split_index: int = 0,
+                 required=REQUIRED_OUTPUT_KEYS["twoview"]):
     """Load a released precalculated-results pkl and return the requested
     split's outputs as {field: (N, ...) numpy}. The file is either
     `[test_batches, train_batches]` (the res_compile layout) or a bare
@@ -85,7 +92,7 @@ def load_precalc(path: str, split_index: int = 0):
             f"{path}: split {split_index} is not a list of "
             f"{{'output': {{...}}}} batches (the trainer.test layout)")
     keys = set(batches[0]["output"].keys())
-    missing = [k for k in REQUIRED_OUTPUT_KEYS if k not in keys]
+    missing = [k for k in required if k not in keys]
     if missing:
         raise ValueError(
             f"{path}: precalc outputs missing {missing}; present: "
@@ -200,9 +207,11 @@ def main(argv=None):
                        (args.datapath, "--datapath")):
         if not osp.exists(path):
             raise SystemExit(f"{what}: {path} does not exist")
+    kind = family_kind(args.model)
     theirs = load_precalc(args.precalc,
-                          split_index=0 if args.split == "test" else 1)
-    n_ref = theirs["pred_angles0"].shape[0]
+                          split_index=0 if args.split == "test" else 1,
+                          required=REQUIRED_OUTPUT_KEYS[kind])
+    n_ref = theirs[REQUIRED_OUTPUT_KEYS[kind][0]].shape[0]
     print(f"[1/4] assets validated: precalc has {n_ref} {args.split} "
           f"frames, fields {sorted(theirs)[:8]}…", flush=True)
 
@@ -238,17 +247,18 @@ def main(argv=None):
     ours = {k: np.concatenate([_np(b["output"][k]) for b in ours_batches])
             for k in ours_batches[0]["output"]}
     our_metrics = json.load(open(ours_pkl + ".metrics.json"))[args.split]
-    print(f"[3/4] our eval done: {ours['pred_angles0'].shape[0]} frames",
-          flush=True)
+    n_ours = ours[REQUIRED_OUTPUT_KEYS[kind][0]].shape[0]
+    print(f"[3/4] our eval done: {n_ours} frames", flush=True)
 
     # ---- 4. comparison ----
     field_report = compare_outputs(ours, theirs)
     report = {"fields": field_report, "ours_metrics": our_metrics,
-              "n_ours": int(ours["pred_angles0"].shape[0]),
-              "n_precalc": int(n_ref)}
+              "n_ours": int(n_ours), "n_precalc": int(n_ref)}
     # score the PRECALC predictions with our metric code against the GT
-    # our eval collected (same formulas both sides)
-    if all(k in ours for k in ("gt_angles0", "gt_smpltrans0")):
+    # our eval collected (same formulas both sides; twoview only — the
+    # single-view metric recompute stays on field diffs)
+    if kind == "twoview" and all(
+            k in ours for k in ("gt_angles0", "gt_smpltrans0")):
         from ..bodymodel import load_smplx_npz, synthetic_smplx_params
         from ..geometry.rotations import batch_rodrigues
 

@@ -378,3 +378,36 @@ def test_parity_run_fixture_bundle(tmp_path, capsys):
         pickle.dump(res, f)
     with pytest.raises(ValueError, match="missing.*pred_angles0"):
         load_precalc(bad)
+
+    # single-view contract leg (the released set also ships hmr bundles):
+    # unsuffixed fields, field-diff-only report
+    train_main([
+        "--name", "ph", "--version", "0", "--model", "hmr",
+        "--datapath", data, "--log_dir", logs, "--batch_size", "2",
+        "--val_batch_size", "2", "--max_steps", "1", "--val_every", "1",
+        "--img_res", "64", "--data_workers", "1",
+    ])
+    hckpt = os.path.join(logs, "ph", "version_0", "checkpoints", "last")
+    _, htrained = load_model_variables("hmr", ckpt=hckpt)
+    h_released = str(tmp_path / "released_hmr.ckpt")
+    export_reference_checkpoint(htrained, "hmr", h_released)
+    hconv = str(tmp_path / "hconv")
+    convert_ckpt_file_to_orbax(h_released, "hmr", hconv)
+    h_precalc = str(tmp_path / "precalc_hmr.pkl")
+    compile_main([
+        "--model", "hmr", "--ckpt", hconv, "--datapath", data,
+        "--split", "test", "--out", h_precalc, "--batch_size", "2",
+        "--img_res", "64", "--synthetic_verts", "60",
+    ])
+    capsys.readouterr()
+    hreport = parity_main([
+        "--model", "hmr", "--torch-ckpt", h_released,
+        "--precalc", h_precalc, "--datapath", data,
+        "--synthetic_verts", "60",
+        "--workdir", str(tmp_path / "parity_hmr"),
+        "--batch_size", "2", "--img_res", "64",
+    ])
+    capsys.readouterr()
+    for k in ("pred_angles", "pred_smpltrans", "pred_betas"):
+        assert hreport["fields"][k]["max_abs"] < 1e-5, (
+            k, hreport["fields"][k])
