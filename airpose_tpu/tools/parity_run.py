@@ -246,7 +246,8 @@ def main(argv=None):
         ours_batches = pickle.load(f)[0]
     ours = {k: np.concatenate([_np(b["output"][k]) for b in ours_batches])
             for k in ours_batches[0]["output"]}
-    our_metrics = json.load(open(ours_pkl + ".metrics.json"))[args.split]
+    with open(ours_pkl + ".metrics.json") as f:
+        our_metrics = json.load(f)[args.split]
     n_ours = ours[REQUIRED_OUTPUT_KEYS[kind][0]].shape[0]
     print(f"[3/4] our eval done: {n_ours} frames", flush=True)
 
