@@ -29,6 +29,18 @@ Stages:
      scored with the SAME metric code (MPJPE/PA-MPJPE/MPE) against the
      dataset GT our eval collected
 
+``--datapath real://<dir>`` switches to the REAL released bundles
+(hmr_real_ckpt.zip / copenet_twoview_real_ckpt.zip): the precalc pkls
+follow the same suffixed-field contract
+(copenet_real_res_compile.py:116-127), there is no 3D GT, and the score
+recomputed for both sides is the robust cross-view consistency
+(res_compile:139-143) over the capture's extrinsics + detector mask.
+``--model hmr`` with real:// consumes the per-camera pkl PAIR the
+reference's hmr_real_res_compile.py writes (``<base>0``/``<base>1``,
+one net per first_cam pinning, :35-74) — pass the base name as
+``--precalc`` — and recomputes the same cross-view consistency its
+analysis block computes over both cameras' outputs (:194-204).
+
 Writes ``<workdir>/parity_report.json`` and prints the table. On fixtures
 (no released assets) the mechanics are regression-tested by generating a
 "released-like" bundle from a trained fixture checkpoint — see
@@ -167,6 +179,46 @@ def metrics_from_fields(fields: dict, gt: dict, smplx_params):
     return {k: float(v) for k, v in m.items()}
 
 
+def real_crossview(fields: dict, ds, smplx_params) -> float:
+    """Robust cross-view consistency of a side's predictions over the
+    capture's extrinsics + detector mask — the reference's real-data
+    accuracy proxy, same code path as the eval CLI
+    (compile_results.robust_crossview_consistency)."""
+    import jax.numpy as jnp
+
+    from ..eval.compile_results import robust_crossview_consistency
+    from ..geometry.rotations import batch_rodrigues
+
+    n = min(fields["pred_angles0"].shape[0], ds.extr.shape[1])
+
+    def rm(angles):
+        a = np.asarray(angles[:n], np.float32)
+        if a.ndim == 2:
+            a = a.reshape(n, -1, 3)
+        return np.asarray(
+            batch_rodrigues(jnp.asarray(a.reshape(-1, 3)))
+        ).reshape(n, -1, 3, 3)
+
+    pred_rotmat = np.stack(
+        [rm(fields["pred_angles0"]), rm(fields["pred_angles1"])], axis=1)
+    pred_betas = np.stack([fields["pred_betas0"][:n],
+                           fields["pred_betas1"][:n]], axis=1)
+    extr = np.stack([ds.extr[0, :n], ds.extr[1, :n]], axis=1)
+    conf = ds.opose[:, :n, :, 2].sum(axis=2)
+    err = ~((conf[0] == 0) & (conf[1] == 0))
+    return robust_crossview_consistency(
+        smplx_params, pred_rotmat, pred_betas, extr, err)
+
+
+def _suffix_cams(per_cam) -> dict:
+    """[{field: arr} cam0, {field: arr} cam1] → {field+cam: arr} — the
+    suffixed layout real_crossview/compare_outputs consume, mirroring how
+    the reference's analysis block reads the hmr pkl pair
+    (hmr_real_res_compile.py:141-146: pred_betas0/1 etc. from res0/res1)."""
+    return {f"{k}{cam}": v for cam, fields in enumerate(per_cam)
+            for k, v in fields.items()}
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model", default="copenet_twoview",
@@ -189,6 +241,9 @@ def main(argv=None):
     p.add_argument("--vposer_ckpt", default=None)
     p.add_argument("--workdir", required=True)
     p.add_argument("--split", default="test", choices=("test", "train"))
+    p.add_argument("--test_frames", type=int, nargs=2, default=(8000, 15000),
+                   help="real:// frame range (the reference real test "
+                        "split, dsets/copenet_real.py:22)")
     p.add_argument("--batch_size", type=int, default=30)
     p.add_argument("--img_res", type=int, default=224)
     p.add_argument("--platform", default=None, choices=("cpu", "tpu"))
@@ -202,16 +257,38 @@ def main(argv=None):
     os.makedirs(args.workdir, exist_ok=True)
 
     # ---- 1. loud asset validation ----
-    for path, what in ((args.torch_ckpt, "--torch-ckpt"),
-                       (args.precalc, "--precalc"),
-                       (args.datapath, "--datapath")):
+    is_real = args.datapath.startswith("real://")
+    data_dir = args.datapath.split("://", 1)[-1]
+    is_real_hmr = is_real and args.model == "hmr"
+    precalc_paths = ([args.precalc + "0", args.precalc + "1"]
+                     if is_real_hmr else [args.precalc])
+    for path, what in ([(args.torch_ckpt, "--torch-ckpt"),
+                        (data_dir, "--datapath")]
+                       + [(pp, "--precalc") for pp in precalc_paths]):
         if not osp.exists(path):
             raise SystemExit(f"{what}: {path} does not exist")
+    if is_real and args.model not in ("copenet_twoview", "hmr"):
+        raise SystemExit("real:// parity supports the two RELEASED real "
+                         "bundles: copenet_twoview and hmr "
+                         "(ref README.md:28-29)")
+    if is_real and args.split != "test":
+        raise SystemExit("real:// parity runs the test split — the "
+                         "reference's real analysis is defined on frames "
+                         "8000:15000 (copenet_real_res_compile.py:107-116); "
+                         "set --test_frames to move the window")
     kind = family_kind(args.model)
-    theirs = load_precalc(args.precalc,
-                          split_index=0 if args.split == "test" else 1,
-                          required=REQUIRED_OUTPUT_KEYS[kind])
-    n_ref = theirs[REQUIRED_OUTPUT_KEYS[kind][0]].shape[0]
+    split_index = 0 if args.split == "test" else 1
+    if is_real_hmr:
+        theirs = _suffix_cams([
+            load_precalc(pp, split_index=split_index,
+                         required=REQUIRED_OUTPUT_KEYS["single"])
+            for pp in precalc_paths])
+        first_key = "pred_angles0"
+    else:
+        theirs = load_precalc(args.precalc, split_index=split_index,
+                              required=REQUIRED_OUTPUT_KEYS[kind])
+        first_key = REQUIRED_OUTPUT_KEYS[kind][0]
+    n_ref = theirs[first_key].shape[0]
     print(f"[1/4] assets validated: precalc has {n_ref} {args.split} "
           f"frames, fields {sorted(theirs)[:8]}…", flush=True)
 
@@ -232,6 +309,9 @@ def main(argv=None):
         "--out", ours_pkl, "--batch_size", str(args.batch_size),
         "--img_res", str(args.img_res),
     ]
+    if is_real:
+        cmd += ["--test_frames", str(args.test_frames[0]),
+                str(args.test_frames[1])]
     if args.smplx_model_dir:
         cmd += ["--smplx-model-dir", args.smplx_model_dir]
     else:
@@ -242,23 +322,59 @@ def main(argv=None):
     if args.vposer_ckpt:
         cmd += ["--vposer_ckpt", args.vposer_ckpt]
     compile_main(cmd)
-    with open(ours_pkl, "rb") as f:
-        ours_batches = pickle.load(f)[0]
-    ours = {k: np.concatenate([_np(b["output"][k]) for b in ours_batches])
-            for k in ours_batches[0]["output"]}
+
+    def read_pkl_fields(path):
+        with open(path, "rb") as f:
+            batches = pickle.load(f)[0]
+        return {k: np.concatenate([_np(b["output"][k]) for b in batches])
+                for k in batches[0]["output"]}
+
     with open(ours_pkl + ".metrics.json") as f:
-        our_metrics = json.load(f)[args.split]
-    n_ours = ours[REQUIRED_OUTPUT_KEYS[kind][0]].shape[0]
+        metrics_json = json.load(f)
+    if is_real_hmr:
+        ours = _suffix_cams([read_pkl_fields(ours_pkl + "0"),
+                             read_pkl_fields(ours_pkl + "1")])
+        our_metrics = {f"cam{c}_{k}": v for c in (0, 1) for k, v in
+                       metrics_json[f"{args.split}_cam{c}"].items()}
+    else:
+        ours = read_pkl_fields(ours_pkl)
+        our_metrics = metrics_json[args.split]
+    n_ours = ours[first_key].shape[0]
     print(f"[3/4] our eval done: {n_ours} frames", flush=True)
 
     # ---- 4. comparison ----
     field_report = compare_outputs(ours, theirs)
     report = {"fields": field_report, "ours_metrics": our_metrics,
               "n_ours": int(n_ours), "n_precalc": int(n_ref)}
+    if is_real:
+        # no 3D GT on the real path: the recomputed score for both sides
+        # is the robust cross-view consistency over the capture. For hmr
+        # the two cameras' independent nets are combined exactly as the
+        # reference's analysis block does (hmr_real_res_compile.py:194-204).
+        from ..bodymodel import load_smplx_npz, synthetic_smplx_params
+        from ..data import CopenetRealDataset
+
+        smplx_params = (load_smplx_npz(args.smplx_model_dir)
+                        if args.smplx_model_dir else
+                        synthetic_smplx_params(
+                            num_vertices=args.synthetic_verts))
+        ds = CopenetRealDataset(data_dir,
+                                frame_range=range(*args.test_frames))
+        if is_real_hmr:
+            our_metrics["crossview_consistency"] = real_crossview(
+                ours, ds, smplx_params)
+        report["precalc_metrics"] = {
+            "crossview_consistency": real_crossview(theirs, ds,
+                                                    smplx_params)}
+        report["metric_deltas"] = {
+            "crossview_consistency":
+                our_metrics["crossview_consistency"]
+                - report["precalc_metrics"]["crossview_consistency"]}
+        report["ours_metrics"] = our_metrics
     # score the PRECALC predictions with our metric code against the GT
     # our eval collected (same formulas both sides; twoview only — the
     # single-view metric recompute stays on field diffs)
-    if kind == "twoview" and all(
+    elif kind == "twoview" and all(
             k in ours for k in ("gt_angles0", "gt_smpltrans0")):
         from ..bodymodel import load_smplx_npz, synthetic_smplx_params
         from ..geometry.rotations import batch_rodrigues

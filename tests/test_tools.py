@@ -411,3 +411,97 @@ def test_parity_run_fixture_bundle(tmp_path, capsys):
     for k in ("pred_angles", "pred_smpltrans", "pred_betas"):
         assert hreport["fields"][k]["max_abs"] < 1e-5, (
             k, hreport["fields"][k])
+
+
+@pytest.mark.slow
+def test_parity_run_real_mode(tmp_path, capsys):
+    """parity_run --datapath real://: the released REAL bundles' contract
+    (copenet_real_res_compile.py:116-127 suffixed fields, no 3D GT; both
+    sides scored with the robust cross-view consistency over the
+    capture's extrinsics + detector mask)."""
+    from airpose_tpu.eval.compile_results import main as compile_main
+    from airpose_tpu.tools.parity_run import main as parity_main
+    from airpose_tpu.tools.synth_real_capture import write_capture
+    from airpose_tpu.train.checkpoint import (convert_ckpt_file_to_orbax,
+                                              export_reference_checkpoint,
+                                              load_model_variables)
+
+    cap = str(tmp_path / "cap")
+    write_capture(cap, n_frames=6)
+
+    # released-like real bundle from a deterministic random-init model
+    _, variables = load_model_variables("copenet_twoview", random_init=True)
+    released = str(tmp_path / "released_real.ckpt")
+    export_reference_checkpoint(variables, "copenet_twoview", released)
+    conv = str(tmp_path / "conv")
+    convert_ckpt_file_to_orbax(released, "copenet_twoview", conv)
+    precalc = str(tmp_path / "precalc_real.pkl")
+    compile_main([
+        "--model", "copenet_twoview", "--ckpt", conv,
+        "--datapath", f"real://{cap}", "--split", "test",
+        "--test_frames", "0", "6", "--out", precalc,
+        "--batch_size", "3", "--img_res", "64", "--synthetic_verts", "60",
+    ])
+    capsys.readouterr()
+
+    report = parity_main([
+        "--model", "copenet_twoview", "--torch-ckpt", released,
+        "--precalc", precalc, "--datapath", f"real://{cap}",
+        "--test_frames", "0", "6", "--synthetic_verts", "60",
+        "--workdir", str(tmp_path / "parity"),
+        "--batch_size", "3", "--img_res", "64",
+    ])
+    capsys.readouterr()
+    for k in ("pred_angles0", "pred_smpltrans1", "pred_betas0",
+              "pred_pose0"):
+        assert report["fields"][k]["max_abs"] < 1e-5, (k, report["fields"][k])
+    # the cross-view score recomputed from the precalc angles lands on the
+    # eval CLI's own number (aa→rotmat roundtrip tolerance)
+    assert abs(report["metric_deltas"]["crossview_consistency"]) < 1e-4, (
+        report["metric_deltas"])
+
+
+@pytest.mark.slow
+def test_parity_run_real_hmr_mode(tmp_path, capsys):
+    """parity_run --model hmr --datapath real://: the hmr_real_ckpt.zip
+    contract — ONE checkpoint run per camera pinning, per-camera pkl pair
+    <base>0/<base>1 (hmr_real_res_compile.py:35-74), both sides scored
+    with the cross-view consistency its analysis block computes over the
+    two cameras' outputs (:194-204)."""
+    from airpose_tpu.eval.compile_results import main as compile_main
+    from airpose_tpu.tools.parity_run import main as parity_main
+    from airpose_tpu.tools.synth_real_capture import write_capture
+    from airpose_tpu.train.checkpoint import (convert_ckpt_file_to_orbax,
+                                              export_reference_checkpoint,
+                                              load_model_variables)
+
+    cap = str(tmp_path / "cap")
+    write_capture(cap, n_frames=6)
+
+    _, variables = load_model_variables("hmr", random_init=True)
+    released = str(tmp_path / "released_hmr_real.ckpt")
+    export_reference_checkpoint(variables, "hmr", released)
+    conv = str(tmp_path / "conv")
+    convert_ckpt_file_to_orbax(released, "hmr", conv)
+    precalc = str(tmp_path / "precalc_hmr_real.pkl")
+    compile_main([
+        "--model", "hmr", "--ckpt", conv,
+        "--datapath", f"real://{cap}", "--split", "test",
+        "--test_frames", "0", "6", "--out", precalc,
+        "--batch_size", "3", "--img_res", "64", "--synthetic_verts", "60",
+    ])
+    capsys.readouterr()
+
+    report = parity_main([
+        "--model", "hmr", "--torch-ckpt", released,
+        "--precalc", precalc, "--datapath", f"real://{cap}",
+        "--test_frames", "0", "6", "--synthetic_verts", "60",
+        "--workdir", str(tmp_path / "parity"),
+        "--batch_size", "3", "--img_res", "64",
+    ])
+    capsys.readouterr()
+    for k in ("pred_angles0", "pred_angles1", "pred_smpltrans0",
+              "pred_betas1"):
+        assert report["fields"][k]["max_abs"] < 1e-5, (k, report["fields"][k])
+    assert abs(report["metric_deltas"]["crossview_consistency"]) < 1e-4, (
+        report["metric_deltas"])
