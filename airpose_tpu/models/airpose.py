@@ -346,7 +346,20 @@ class AirPoseTwoView(nn.Module):
 class AirPoseTwoViewSep(nn.Module):
     """AirPose with per-drone weights: two full trunk+regressor copies,
     one per view (ref copenet_real/models/model_copenet_sep.py:169-237).
-    Same call signature/outputs as AirPoseTwoView."""
+    Same call signature/outputs as AirPoseTwoView.
+
+    Documented divergence: the reference's forward_reg rebinds view 0's
+    shape BEFORE building view 1's concat (model_copenet_sep.py:198 then
+    :192's argument on the next line of data flow), so its view 1 sees
+    view 0's FRESH shape but STALE art pose within one IEF step — an
+    asymmetry the shared-weight model does not have (model_copenet.py
+    builds both concats before any update). Here both views update from
+    the same pre-step state, so the fused forward equals the staged
+    serving protocol (tests/test_serve.py::test_sep_staged_matches_sep_fused).
+    The reference's exact sequential semantics remain reproducible through
+    AirPoseTwoViewSepView.regress_step and are oracle-tested against the
+    reference's own torch module
+    (tests/test_reference_oracle.py::test_oracle_twoview_sep)."""
 
     iters: int = 3
     dtype: Any = jnp.float32

@@ -1,0 +1,225 @@
+"""Cross-framework network-parity oracle against the reference's OWN code.
+
+These tests import the reference's torch nn.Modules directly from
+/root/reference (imported as a test oracle — nothing is copied into the
+framework), give them their real random init, convert each state dict
+through train/checkpoint.convert_reference_checkpoint, and compare full
+forwards (3 IEF iterations, eval mode) on identical inputs. This is the
+strongest architecture/converter parity evidence available without the
+released checkpoints: every fc1 concat column, BN eps, IEF residual
+wiring, and cross-view exchange must line up for the outputs to agree.
+
+Reference entry points exercised:
+  model_hmr.getcopenet                (ref copenet/models/model_hmr.py:196)
+  model_copenet_singleview.getcopenet (ref ...model_copenet_singleview.py:190)
+  model_muhmr.getcopenet              (ref ...model_muhmr.py:227)
+  model_copenet.getcopenet            (ref ...model_copenet.py:229)
+  model_copenet_sep.getcopenet        (ref copenet_real/models/model_copenet_sep.py:231)
+
+torchvision / pytorch_lightning are not in this image; they are stubbed
+(only used for the pretrained-imagenet load we do not take, and as the
+_sep module's base class).
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+MEAN_NPZ = os.path.join(
+    os.path.dirname(__file__), "..", "airpose_tpu", "data", "assets",
+    "smpl_mean_params.npz",
+)
+B = 2
+RES = 224  # the reference's AvgPool2d(7) hardcodes the 224 feature grid
+TOL = 2e-3  # matches the trunk-conversion test's bound (test_checkpoint)
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvr = types.ModuleType("torchvision.models.resnet")
+
+        def _no_pretrained(*a, **k):  # tests construct with pretrained=False
+            raise AssertionError("oracle tests must not load imagenet")
+
+        tvr.resnet50 = _no_pretrained
+        tv.models, tvm.resnet = tvm, tvr
+        sys.modules.update({"torchvision": tv, "torchvision.models": tvm,
+                            "torchvision.models.resnet": tvr})
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+        pl.LightningModule = torch.nn.Module
+        sys.modules["pytorch_lightning"] = pl
+    for p in (f"{REF}/copenet/src", f"{REF}/copenet_real/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from copenet.models import (model_copenet, model_copenet_singleview,
+                                model_hmr, model_muhmr)
+    from copenet_real.models import model_copenet_sep
+    return {"hmr": model_hmr, "copenet_singleview": model_copenet_singleview,
+            "muhmr": model_muhmr, "copenet_twoview": model_copenet,
+            "copenet_twoview_sep": model_copenet_sep}
+
+
+def _inputs(seed=0, two_view=False):
+    rng = np.random.default_rng(seed)
+    shape = (B, 2, RES, RES, 3) if two_view else (B, RES, RES, 3)
+    x = rng.normal(scale=0.5, size=shape).astype(np.float32)
+    bb = rng.normal(scale=0.1, size=shape[:-3] + (3,)).astype(np.float32)
+    pos = np.full(shape[:-3] + (3,), 0.5, np.float32)
+    return x, bb, pos
+
+
+def _t(a):  # NHWC numpy → torch NCHW (images) / plain tensor
+    a = torch.from_numpy(np.ascontiguousarray(a))
+    return a.permute(0, 3, 1, 2) if a.ndim == 4 else a
+
+
+def _convert(net, family):
+    from airpose_tpu.train.checkpoint import convert_reference_checkpoint
+
+    return convert_reference_checkpoint(net.state_dict(), family,
+                                        lightning=False)
+
+
+def test_oracle_hmr(ref_models):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.rotations import rot6d_to_rotmat
+    from airpose_tpu.models import HMR
+
+    net = ref_models["hmr"].getcopenet(MEAN_NPZ, pretrained=False).eval()
+    x, _, _ = _inputs()
+    with torch.no_grad():
+        rm_t, betas_t, cam_t = net(_t(x), iters=3)
+    out = HMR(iters=3).apply(_convert(net, "hmr"), jnp.asarray(x))
+    rm = np.asarray(rot6d_to_rotmat(out.pose6d.reshape(B, 22, 6)))
+    np.testing.assert_allclose(rm, rm_t.numpy().reshape(B, 22, 3, 3),
+                               atol=TOL)
+    np.testing.assert_allclose(np.asarray(out.betas), betas_t.numpy(),
+                               atol=TOL)
+    np.testing.assert_allclose(np.asarray(out.cam), cam_t.numpy(), atol=TOL)
+
+
+def test_oracle_singleview(ref_models):
+    import jax.numpy as jnp
+
+    from airpose_tpu.models import SingleViewFullCam
+
+    net = ref_models["copenet_singleview"].getcopenet(
+        MEAN_NPZ, pretrained=False).eval()
+    x, bb, pos = _inputs(1)
+    with torch.no_grad():
+        pose_t, betas_t = net(_t(x), _t(bb), _t(pos), iters=3)
+    out = SingleViewFullCam(iters=3).apply(
+        _convert(net, "copenet_singleview"),
+        jnp.asarray(x), jnp.asarray(bb), jnp.asarray(pos))
+    np.testing.assert_allclose(np.asarray(out.pose), pose_t.numpy(), atol=TOL)
+    np.testing.assert_allclose(np.asarray(out.betas), betas_t.numpy(),
+                               atol=TOL)
+
+
+def test_oracle_muhmr(ref_models):
+    import jax.numpy as jnp
+
+    from airpose_tpu.models import MuHMR
+
+    net = ref_models["muhmr"].getcopenet(MEAN_NPZ, pretrained=False).eval()
+    x, _, _ = _inputs(2, two_view=True)
+    with torch.no_grad():
+        p0, b0, c0, p1, b1, c1 = net(_t(x[:, 0]), _t(x[:, 1]), iters=3)
+    out = MuHMR(iters=3).apply(_convert(net, "muhmr"), jnp.asarray(x))
+    for v, (pt, bt, ct) in enumerate(((p0, b0, c0), (p1, b1, c1))):
+        np.testing.assert_allclose(np.asarray(out.pose6d[:, v]), pt.numpy(),
+                                   atol=TOL)
+        np.testing.assert_allclose(np.asarray(out.betas[:, v]), bt.numpy(),
+                                   atol=TOL)
+        np.testing.assert_allclose(np.asarray(out.cam[:, v]), ct.numpy(),
+                                   atol=TOL)
+
+
+def test_oracle_twoview(ref_models):
+    import jax.numpy as jnp
+
+    from airpose_tpu.models import AirPoseTwoView
+
+    net = ref_models["copenet_twoview"].getcopenet(
+        MEAN_NPZ, pretrained=False).eval()
+    x, bb, pos = _inputs(3, two_view=True)
+    with torch.no_grad():
+        p0, b0, p1, b1 = net(_t(x[:, 0]), _t(x[:, 1]), _t(bb[:, 0]),
+                             _t(bb[:, 1]), _t(pos[:, 0]), _t(pos[:, 1]),
+                             iters=3)
+    out = AirPoseTwoView(iters=3).apply(
+        _convert(net, "copenet_twoview"),
+        jnp.asarray(x), jnp.asarray(bb), jnp.asarray(pos))
+    for v, (pt, bt) in enumerate(((p0, b0), (p1, b1))):
+        np.testing.assert_allclose(np.asarray(out.pose[:, v]), pt.numpy(),
+                                   atol=TOL)
+        np.testing.assert_allclose(np.asarray(out.betas[:, v]), bt.numpy(),
+                                   atol=TOL)
+
+
+def test_oracle_twoview_sep(ref_models):
+    """The _sep reference updates view 0's shape BEFORE building view 1's
+    concat (model_copenet_sep.py:197-198 rebinds pred_shape0 ahead of the
+    xc1 cat at :192 in the NEXT call's argument flow — i.e. within one
+    forward_reg, xc1 sees view 0's FRESH shape but STALE art pose), an
+    asymmetry the shared-weight model does not have (model_copenet.py
+    builds both concats before any update). This framework's fused _sep
+    keeps the symmetric order so fused ≡ staged serving
+    (tests/test_serve.py::test_sep_staged_matches_sep_fused); the
+    reference's exact sequential semantics are reproduced here through the
+    staged per-view API to prove the weight conversion is exact and the
+    only divergence is that documented update order."""
+    import jax.numpy as jnp
+
+    from airpose_tpu.models import AirPoseTwoViewSepView
+
+    net = ref_models["copenet_twoview_sep"].getcopenet(
+        MEAN_NPZ, pretrained=False).eval()
+    x, bb, pos = _inputs(4, two_view=True)
+    with torch.no_grad():
+        p0, b0, p1, b1 = net(_t(x[:, 0]), _t(x[:, 1]), _t(bb[:, 0]),
+                             _t(bb[:, 1]), _t(pos[:, 0]), _t(pos[:, 1]),
+                             iters=3)
+
+    variables = _convert(net, "copenet_twoview_sep")
+    views = [AirPoseTwoViewSepView(view=v) for v in (0, 1)]
+    xf = [views[v].apply(variables, jnp.asarray(x[:, v]),
+                         method=AirPoseTwoViewSepView.extract_features)
+          for v in (0, 1)]
+
+    from airpose_tpu.models import mean_init_state
+
+    mean_pose, mean_shape, _ = mean_init_state((B,))
+    pose = [jnp.concatenate([jnp.asarray(pos[:, v]), mean_pose], axis=-1)
+            for v in (0, 1)]
+    shape = [mean_shape, mean_shape]
+
+    def step(v, peer_art, peer_shape):
+        return views[v].apply(
+            variables, xf[v], jnp.asarray(bb[:, v]), pose[v], shape[v],
+            peer_art, peer_shape, method=AirPoseTwoViewSepView.regress_step)
+
+    for _ in range(3):
+        old_art = [p[..., 9:] for p in pose]
+        old_shape = list(shape)
+        # reference order: view 0 first (stale peer state)...
+        pose[0], shape[0] = step(0, old_art[1], old_shape[1])
+        # ...then view 1 with view 0's STALE art but FRESH shape
+        pose[1], shape[1] = step(1, old_art[0], shape[0])
+
+    for v, (pt, bt) in enumerate(((p0, b0), (p1, b1))):
+        np.testing.assert_allclose(np.asarray(pose[v]), pt.numpy(), atol=TOL)
+        np.testing.assert_allclose(np.asarray(shape[v]), bt.numpy(), atol=TOL)

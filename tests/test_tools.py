@@ -414,6 +414,42 @@ def test_parity_run_fixture_bundle(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_train_roofline_smoke(capsys):
+    """tools/train_roofline runs end to end on tiny CPU shapes: every
+    requested stage produces a finite positive per-iter time and the
+    trunk-only stage is bounded by the whole-model stage."""
+    from airpose_tpu.tools.train_roofline import main as roofline_main
+
+    results = roofline_main([
+        "--batch", "2", "--img", "64", "--length", "2",
+        "--stages", "full,fwdbwd_model,fwdbwd_trunk,opt",
+    ])
+    capsys.readouterr()
+    assert set(results) == {"full", "fwdbwd_model", "fwdbwd_trunk", "opt"}
+    for k, v in results.items():
+        assert np.isfinite(v) and v > 0, (k, v)
+    # structural sanity (timings are noisy; this one is structural: the
+    # model fwd+bwd contains the trunk fwd+bwd)
+    assert results["fwdbwd_trunk"] < results["full"] * 3
+
+
+@pytest.mark.slow
+def test_qat_posture_smoke(capsys):
+    """tools/qat_posture runs all three arms on tiny CPU shapes and
+    returns finite deployed-int8 losses for each posture."""
+    from airpose_tpu.tools.qat_posture import main as posture_main
+
+    results = posture_main([
+        "--batch", "2", "--img", "64", "--verts", "60",
+        "--steps_pre", "2", "--steps_ft", "2",
+    ])
+    capsys.readouterr()
+    assert set(results) == {"bf16", "ptq", "dynamic", "frozen"}
+    for k, v in results.items():
+        assert np.isfinite(v), (k, v)
+
+
+@pytest.mark.slow
 def test_parity_run_real_mode(tmp_path, capsys):
     """parity_run --datapath real://: the released REAL bundles' contract
     (copenet_real_res_compile.py:116-127 suffixed fields, no 3D GT; both
