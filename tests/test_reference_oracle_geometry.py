@@ -1,0 +1,225 @@
+"""Geometry parity oracle against the reference's own torch/numpy code.
+
+Companion to test_reference_oracle.py (models): imports the reference's
+`copenet/utils/geometry.py` and `copenet_real/utils/utils.py` directly as
+oracles and checks this framework's JAX geometry on identical random
+inputs. Locks the documented torch-semantics claims (rodrigues/6D eps
+handling, the lstsq formulations, the weak-camera conventions) to the
+actual reference implementations rather than to re-derivations.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def ref_geo():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    p = f"{REF}/copenet/src"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    from copenet.utils import geometry
+    return geometry
+
+
+@pytest.fixture(scope="module")
+def ref_utils():
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    # torchgeometry is not in this image; the module imports it at top
+    # level but none of the oracled functions call into it
+    if "torchgeometry" not in sys.modules:
+        sys.modules["torchgeometry"] = types.ModuleType("torchgeometry")
+    p = f"{REF}/copenet_real/src"
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    from copenet_real.utils import utils
+    return utils
+
+
+def test_oracle_batch_rodrigues(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(0)
+    theta = np.concatenate([
+        rng.normal(scale=1.5, size=(64, 3)),
+        rng.normal(scale=1e-6, size=(8, 3)),   # near-zero angles: the
+        np.zeros((4, 3)),                      # l1-eps regime (ref :9-23)
+    ]).astype(np.float32)
+    want = ref_geo.batch_rodrigues(torch.from_numpy(theta)).numpy()
+    got = np.asarray(batch_rodrigues(jnp.asarray(theta)))
+    np.testing.assert_allclose(got, want[:, :3, :3].reshape(got.shape),
+                               atol=1e-5)
+
+
+def test_oracle_quat_to_rotmat(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.rotations import quat_to_rotmat
+
+    rng = np.random.default_rng(1)
+    quat = rng.normal(size=(64, 4)).astype(np.float32)
+    want = ref_geo.quat_to_rotmat(torch.from_numpy(quat)).numpy()
+    got = np.asarray(quat_to_rotmat(jnp.asarray(quat)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_oracle_rot6d_to_rotmat(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.rotations import rot6d_to_rotmat
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(64, 6)).astype(np.float32)
+    want = ref_geo.rot6d_to_rotmat(torch.from_numpy(x)).numpy()
+    got = np.asarray(rot6d_to_rotmat(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_oracle_perspective_projection(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.projection import perspective_projection
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(3)
+    B, N = 5, 24
+    points = rng.normal(size=(B, N, 3)).astype(np.float32)
+    points[..., 2] += 8.0
+    rot = np.array(batch_rodrigues(
+        jnp.asarray(rng.normal(scale=0.3, size=(B, 3)).astype(np.float32))))
+    trans = rng.normal(scale=0.5, size=(B, 3)).astype(np.float32)
+    center = rng.normal(scale=20, loc=112, size=(B, 2)).astype(np.float32)
+    focal = (1475.0, 1475.0)
+    want = ref_geo.perspective_projection(
+        torch.from_numpy(points), torch.from_numpy(rot),
+        torch.from_numpy(trans), torch.tensor(focal),
+        torch.from_numpy(center)).numpy()
+    got = np.asarray(perspective_projection(
+        jnp.asarray(points), jnp.asarray(rot), jnp.asarray(trans), focal,
+        jnp.asarray(center)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_oracle_estimate_translation(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.projection import estimate_translation
+
+    rng = np.random.default_rng(4)
+    B, N = 4, 24
+    j3d = rng.normal(scale=0.4, size=(B, N, 3)).astype(np.float32)
+    j2d = np.concatenate([
+        rng.normal(scale=60, loc=112, size=(B, N, 2)),
+        rng.uniform(0.2, 1.0, size=(B, N, 1)),
+    ], axis=-1).astype(np.float32)
+    # the reference slices joints 25:49 out of the SPIN 49-joint stack
+    # (geometry.py:146-147); feed ours the same 24 joints directly
+    pad3 = np.zeros((B, 25, 3), np.float32)
+    want = ref_geo.estimate_translation(
+        torch.from_numpy(np.concatenate([pad3, j3d], axis=1)),
+        torch.from_numpy(np.concatenate([pad3, j2d], axis=1)),
+        focal_length=5000.0, img_size=224.0).numpy()
+    got = np.asarray(estimate_translation(
+        jnp.asarray(j3d), jnp.asarray(j2d), 5000.0, 224.0))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_oracle_lstsq_triangulation(ref_geo):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.projection import lstsq_triangulation
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(5)
+    C = 3
+    intr = np.broadcast_to(
+        np.array([[1475.0, 0, 1018], [0, 1475.0, 577], [0, 0, 1]],
+                 np.float32), (C, 3, 3)).copy()
+    R = np.array(batch_rodrigues(
+        jnp.asarray(rng.normal(scale=0.4, size=(C, 3)).astype(np.float32))))
+    extr = np.zeros((C, 4, 4), np.float32)
+    extr[:, :3, :3] = R
+    extr[:, :3, 3] = rng.normal(scale=1.0, size=(C, 3)) + [0, 0, 10]
+    extr[:, 3, 3] = 1.0
+    world = np.array([0.3, -0.2, 1.0], np.float32)
+    cam_pts = np.einsum("cij,j->ci", extr[:, :3, :3], world) + extr[:, :3, 3]
+    pix = np.einsum("cij,cj->ci", intr, cam_pts)
+    pts2d = (pix[:, :2] / pix[:, 2:]).astype(np.float32)
+    pts2d += rng.normal(scale=0.5, size=pts2d.shape).astype(np.float32)
+    # the reference returns (solution, per-camera normalized points)
+    want = np.asarray(ref_geo.lstsq_triangulation(intr, extr, pts2d)[0],
+                      np.float32)
+    got = np.asarray(lstsq_triangulation(
+        jnp.asarray(intr), jnp.asarray(extr), jnp.asarray(pts2d)))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_oracle_transform_smpl(ref_utils):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.projection import transform_smpl
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rng = np.random.default_rng(6)
+    B, V, J = 3, 50, 22
+    T = np.zeros((B, 4, 4), np.float32)
+    T[:, :3, :3] = np.array(batch_rodrigues(
+        jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))))
+    T[:, :3, 3] = rng.normal(size=(B, 3))
+    T[:, 3, 3] = 1.0
+    verts = rng.normal(size=(B, V, 3)).astype(np.float32)
+    joints = rng.normal(size=(B, J, 3)).astype(np.float32)
+    orient = np.array(batch_rodrigues(
+        jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))))
+    trans = rng.normal(size=(B, 3)).astype(np.float32)
+    want = ref_utils.transform_smpl(
+        torch.from_numpy(T), torch.from_numpy(verts),
+        torch.from_numpy(joints), torch.from_numpy(orient),
+        torch.from_numpy(trans))
+    got = transform_smpl(jnp.asarray(T), jnp.asarray(verts),
+                         jnp.asarray(joints), jnp.asarray(orient),
+                         jnp.asarray(trans))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), atol=1e-5)
+
+
+def test_oracle_weak_cam(ref_utils):
+    import jax.numpy as jnp
+
+    from airpose_tpu.geometry.projection import (weak_cam_from_position,
+                                                 weak_cam_to_trans)
+
+    rng = np.random.default_rng(7)
+    B = 6
+    intr = np.broadcast_to(
+        np.array([[1475.0, 0, 1018], [0, 1475.0, 577], [0, 0, 1]],
+                 np.float32), (B, 3, 3)).copy()
+    pos = rng.normal(scale=2.0, size=(B, 3)).astype(np.float32)
+    pos[:, 2] += 10.0
+    pos[0, 2] = -pos[0, 2]  # behind-camera branch (ref utils.py:178-180)
+    want = np.stack([
+        ref_utils.get_weak_persp_cam_full_img_gt(intr[i], pos[i])
+        for i in range(B)
+    ]).astype(np.float32)
+    got = np.asarray(weak_cam_from_position(jnp.asarray(intr),
+                                            jnp.asarray(pos)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # round-trip through the reference's inverse (weakcam2trans, :189-196)
+    back = ref_utils.weakcam2trans(torch.from_numpy(intr),
+                                   torch.from_numpy(want)).numpy()
+    got_back = np.asarray(weak_cam_to_trans(jnp.asarray(intr),
+                                            jnp.asarray(want)))
+    np.testing.assert_allclose(got_back, back, rtol=1e-5, atol=1e-5)
