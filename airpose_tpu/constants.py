@@ -11,11 +11,14 @@ IMG_SIZE = (1920, 1080)  # (W, H)
 CX = IMG_SIZE[0] / 2.0
 CY = IMG_SIZE[1] / 2.0
 
-# Real (DJI) per-camera intrinsics — ref copenet_real/constants.py:12-18.
+# Real (DJI) per-camera intrinsics — ref copenet_real/constants.py:12-17.
+# The CX/CY pairs are the reference's calibrated principal points, used
+# there only by its visualization Renderer (copenet_twoview.py:89,93);
+# the eval/loss paths take principal points from the calib yml.
 REAL_FOCAL_LENGTH0 = (1537.0, 1517.0)
 REAL_FOCAL_LENGTH1 = (1361.0, 1378.0)
-REAL_CX0, REAL_CY0 = 960.0, 540.0
-REAL_CX1, REAL_CY1 = 960.0, 540.0
+REAL_CX0, REAL_CY0 = 1018.0, 577.0
+REAL_CX1, REAL_CY1 = 978.0, 667.0
 
 NUM_ITERS = 3           # IEF iterations — ref copenet/constants.py:8
 CROP_SIZE = 224         # network input resolution

@@ -46,6 +46,44 @@ def ref_utils():
     return utils
 
 
+def test_oracle_constants():
+    """Interop constants/joint tables equal the reference's own
+    constants.py modules (both import-clean pure data)."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    for p in (f"{REF}/copenet/src", f"{REF}/copenet_real/src"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    from copenet import constants as rc
+    from copenet_real import constants as rr
+
+    from airpose_tpu import constants as C
+    from airpose_tpu.data import joints as J
+
+    assert tuple(rc.FOCAL_LENGTH) == C.FOCAL_LENGTH
+    assert tuple(rc.IMG_SIZE) == C.IMG_SIZE
+    assert (rc.CX, rc.CY) == (C.CX, C.CY)
+    assert rc.NUM_ITERS == C.NUM_ITERS
+    assert tuple(rc.IMG_NORM_MEAN) == C.IMG_NORM_MEAN
+    assert tuple(rc.IMG_NORM_STD) == C.IMG_NORM_STD
+    assert tuple(rr.FOCAL_LENGTH0) == C.REAL_FOCAL_LENGTH0
+    assert tuple(rr.FOCAL_LENGTH1) == C.REAL_FOCAL_LENGTH1
+    assert (rr.CX0, rr.CY0) == (C.REAL_CX0, C.REAL_CY0)
+    assert (rr.CX1, rr.CY1) == (C.REAL_CX1, C.REAL_CY1)
+
+    assert rc.JOINT_NAMES == J.JOINT_NAMES
+    assert rc.JOINT_IDS == J.JOINT_IDS
+    assert rc.JOINT_MAP == J.JOINT_MAP
+    assert rc.H36M_TO_J17 == J.H36M_TO_J17
+    assert rc.H36M_TO_J14 == J.H36M_TO_J14
+    assert rc.J24_TO_J17 == J.J24_TO_J17
+    assert rc.J24_TO_J14 == J.J24_TO_J14
+    assert rc.SMPL_JOINTS_FLIP_PERM == J.SMPL_JOINTS_FLIP_PERM
+    assert rc.SMPL_POSE_FLIP_PERM == J.SMPL_POSE_FLIP_PERM
+    assert rc.J24_FLIP_PERM == J.J24_FLIP_PERM
+    assert rc.J49_FLIP_PERM == J.J49_FLIP_PERM
+
+
 def test_oracle_batch_rodrigues(ref_geo):
     import jax.numpy as jnp
 
