@@ -506,7 +506,13 @@ def real_twoview_loss(
     kp = batch["gt_j2d_conf"]
     e2d = _sq(j2d[..., :22, :], kp[..., :22, :2]) * kp[..., :22, 2:]
     e2d = _limb_weight_joints(e2d, w.limbs2d)
-    loss_kp2d = _row_mean(e2d, rw)
+    # The reference SUMS the two views' weighted errors elementwise BEFORE
+    # the mean (ref copenet_real/copenet_twoview.py:117-123: loss_keypoints
+    # = err0 + err1, then .mean()), i.e. the term equals mean(err0) +
+    # mean(err1) — unlike its own synthetic loss, which means per view and
+    # adds. Folding the views into one mean would halve the term
+    # (oracle-caught: tests/test_reference_oracle_losses.py).
+    loss_kp2d = _row_mean(e2d.sum(axis=1), rw)
 
     # VPoser prior on predicted body pose (both views folded).
     pose_aa = rotmat_to_aa(rotmat[:, :, 1:]).reshape(B * 2, 63)
