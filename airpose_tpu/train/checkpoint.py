@@ -239,6 +239,10 @@ def _export_resnet_flax_to_torch(params: Dict, stats: Dict, sd: Dict,
         sd[prefix + key + ".bias"] = torch.from_numpy(np.array(p["bias"], np.float32))
         sd[prefix + key + ".running_mean"] = torch.from_numpy(np.array(s["mean"], np.float32))
         sd[prefix + key + ".running_var"] = torch.from_numpy(np.array(s["var"], np.float32))
+        # torch BatchNorm2d tracks an update counter in the state dict; it
+        # never enters an eval forward but a strict load_state_dict on the
+        # reference net requires the key.
+        sd[prefix + key + ".num_batches_tracked"] = torch.zeros((), dtype=torch.long)
 
     put_conv("conv1.weight", params["conv1"]["kernel"])
     put_bn("bn1", params["bn1"], stats["bn1"])
@@ -277,6 +281,29 @@ def export_reference_checkpoint(variables: Dict, model_name: str,
         sd[f"{prefix}{name}.bias"] = torch.from_numpy(
             np.array(tree["bias"], np.float32))
 
+    def put_mean_buffers(prefix):
+        # The reference nets register the smpl_mean_params as buffers
+        # (init_pose/init_shape + init_cam or init_position, ref
+        # model_hmr.py:86-92, model_copenet_singleview.py:86-92); they are
+        # dataset constants, but a strict reference-side load_state_dict
+        # requires the keys — emit them from the same asset npz.
+        from ..models.regressor import load_mean_params
+
+        pose, shape, cam = load_mean_params()
+        sd[f"{prefix}init_pose"] = torch.from_numpy(pose[None].copy())
+        sd[f"{prefix}init_shape"] = torch.from_numpy(shape[None].copy())
+        if model_name == "copenet_singleview":
+            sd[f"{prefix}init_position"] = torch.tensor(
+                [[0.0, 0.0, 10.0 / 0.05]], dtype=torch.float32)
+        else:
+            sd[f"{prefix}init_cam"] = torch.from_numpy(cam[None].copy())
+        if model_name != "hmr" and model_name != "muhmr":
+            # The full-perspective reference nets define a deccam head that
+            # forward never calls (dead layer, ref model_copenet.py:73 vs
+            # :198-202); strict loads still require the keys — emit zeros.
+            sd[f"{prefix}deccam.weight"] = torch.zeros(3, 1024)
+            sd[f"{prefix}deccam.bias"] = torch.zeros(3)
+
     head_names = {
         "hmr": ("decpose", "decshape", "deccam"),
         "muhmr": ("decpose", "decshape", "deccam"),
@@ -291,6 +318,7 @@ def export_reference_checkpoint(variables: Dict, model_name: str,
                 params[f"trunk{v}"], stats[f"trunk{v}"], sd, sub)
             for name in ("fc1", "fc2") + head_names:
                 put_linear(sub, name, params[f"core{v}"][name])
+            put_mean_buffers(sub)
     else:
         _export_resnet_flax_to_torch(params["trunk"], stats["trunk"], sd,
                                      "model.")
@@ -298,6 +326,7 @@ def export_reference_checkpoint(variables: Dict, model_name: str,
             n for n in head_names if n in params["core"]
         ):
             put_linear("model.", name, params["core"][name])
+        put_mean_buffers("model.")
     torch.save({"state_dict": sd, "hyper_parameters": {}}, out_path)
     return out_path
 

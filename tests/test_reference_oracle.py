@@ -223,3 +223,45 @@ def test_oracle_twoview_sep(ref_models):
     for v, (pt, bt) in enumerate(((p0, b0), (p1, b1))):
         np.testing.assert_allclose(np.asarray(pose[v]), pt.numpy(), atol=TOL)
         np.testing.assert_allclose(np.asarray(shape[v]), bt.numpy(), atol=TOL)
+
+
+@pytest.mark.parametrize("family", ["hmr", "copenet_singleview", "muhmr",
+                                    "copenet_twoview",
+                                    "copenet_twoview_sep"])
+def test_oracle_export_loads_into_reference_net(ref_models, tmp_path, family):
+    """The INVERSE converter direction, consumed by the reference's own
+    code: export_reference_checkpoint's .ckpt must load into the reference
+    net with ``strict=True`` (every key incl. the init_* mean-param buffers
+    and BN num_batches_tracked present, no extras), and converting the
+    loaded net's state dict back must reproduce the original variables
+    EXACTLY (pure transposes both ways). Forward parity then follows from
+    the forward-direction oracles above (identical weights + proven
+    architecture parity), so no per-family forward is re-run here."""
+    import torch as _torch
+
+    from airpose_tpu.train.checkpoint import (convert_reference_checkpoint,
+                                              export_reference_checkpoint,
+                                              load_model_variables)
+
+    _, variables = load_model_variables(family, random_init=True)
+    path = export_reference_checkpoint(variables, family,
+                                       str(tmp_path / "exported.ckpt"))
+    sd = _torch.load(path, weights_only=True)["state_dict"]
+    # 'model.' is the LightningModule attribute prefix; the bare nets
+    # (getcopenet) hold the same keys without it.
+    bare = {k[len("model."):]: v for k, v in sd.items()}
+
+    net = ref_models[family].getcopenet(MEAN_NPZ, pretrained=False)
+    net.load_state_dict(bare, strict=True)  # raises on missing/unexpected
+
+    back = convert_reference_checkpoint(net.state_dict(), family,
+                                        lightning=False)
+    from flax.core import unfreeze
+    from flax.traverse_util import flatten_dict
+
+    va = flatten_dict(unfreeze(variables))
+    vb = flatten_dict(unfreeze(back))
+    assert set(va) == set(vb)
+    for k in va:
+        np.testing.assert_array_equal(np.asarray(va[k]), np.asarray(vb[k]),
+                                      err_msg="/".join(k))
