@@ -89,14 +89,20 @@ def main(argv=None):
             verts_w = np.asarray(canon.vertices)[0] @ orient.T + trans
             joints_w = np.asarray(canon.joints)[0] @ orient.T + trans
 
+            # Batched (1, ...) GT arrays: the reference's own reader feeds
+            # these straight into batch-wise torch.bmm (transform_smpl,
+            # ref dsets/aerialpeople.py:160-167), so an unbatched layout
+            # would not be consumable by the reference — proven by
+            # tests/test_reference_oracle_dataset.py, which runs the
+            # reference's aerialpeople_crop on this tool's output.
             sample = {
                 "smplpose": pose.reshape(63),
                 "smplshape": shape,
                 "smplgender": gender,
-                "smplorient_rotmat_wrt_origin": orient,
-                "smpltrans": trans,
-                "smpl_vertices_wrt_origin": verts_w.astype(np.float32),
-                "smpl_joints_wrt_origin": joints_w.astype(np.float32),
+                "smplorient_rotmat_wrt_origin": orient[None],
+                "smpltrans": trans[None],
+                "smpl_vertices_wrt_origin": verts_w[None].astype(np.float32),
+                "smpl_joints_wrt_origin": joints_w[None].astype(np.float32),
             }
             for cam in (0, 1):
                 ang = rng.uniform(-0.5, 0.5)
@@ -109,8 +115,14 @@ def main(argv=None):
                 }
                 j = joints_w[:24] @ R.T + t
                 uv = j[:, :2] / j[:, 2:] * np.asarray(C.FOCAL_LENGTH) + K[:2, 2]
-                bbmin = np.clip(uv.min(0) - 20, 0, [C.IMG_SIZE[0], C.IMG_SIZE[1]])
-                bbmax = np.clip(uv.max(0) + 20, 0, [C.IMG_SIZE[0], C.IMG_SIZE[1]])
+                # integral bb corners: the ±200 crop window derived from the
+                # bb then lands exactly on the pixel grid, so the stored
+                # image extent equals the float window extent (keeps the
+                # reference reader and ours bit-consistent on crop scale)
+                bbmin = np.floor(
+                    np.clip(uv.min(0) - 20, 0, [C.IMG_SIZE[0], C.IMG_SIZE[1]]))
+                bbmax = np.floor(
+                    np.clip(uv.max(0) + 20, 0, [C.IMG_SIZE[0], C.IMG_SIZE[1]]))
                 sample[f"bb{cam}"] = np.stack([bbmin, bbmax]).astype(np.float32)
 
                 x0 = int(max(bbmin[0] - 200, 0))
