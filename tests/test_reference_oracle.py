@@ -81,7 +81,8 @@ def _inputs(seed=0, two_view=False):
 
 
 def _t(a):  # NHWC numpy → torch NCHW (images) / plain tensor
-    a = torch.from_numpy(np.ascontiguousarray(a))
+    # copy: torch.from_numpy on a non-writable view warns (and would alias)
+    a = torch.from_numpy(np.array(a, copy=True))
     return a.permute(0, 3, 1, 2) if a.ndim == 4 else a
 
 

@@ -134,6 +134,10 @@ def test_ba_loss_oracle(ref_loss_block, models):
 
     # --- reference side: exec the literal source slice ------------------
     cfg = BAConfig()
+    # The exec'd block calls gmcclure(a, b) with the extracted def's default
+    # sigma=30 (the reference hard-codes it that way), so the sigma2d binding
+    # below is dead weight: this oracle is only valid while cfg.sigma == 30.
+    assert cfg.sigma == 30, "reference block hard-codes sigma=30 via default"
     # explicit copy: the block mutates joints2d_gt* in place, and jax
     # exports are non-writable
     t = lambda a: torch.from_numpy(np.array(a, dtype=np.float32, copy=True))

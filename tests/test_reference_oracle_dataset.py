@@ -117,6 +117,12 @@ def ref_dataset_cls():
     ds_pkg = _mod("copenet.dsets")
     if not hasattr(ds_pkg, "__path__"):
         ds_pkg.__path__ = [f"{REF}/copenet/src/copenet/dsets"]
+    # test_reference_oracle_losses installs an EMPTY 'copenet.dsets.aerialpeople'
+    # stub; if that test ran first in this process, the import below would hit
+    # the stub instead of the reference module — evict any stale stub first.
+    stale = sys.modules.get("copenet.dsets.aerialpeople")
+    if stale is not None and not hasattr(stale, "aerialpeople_crop"):
+        sys.modules.pop("copenet.dsets.aerialpeople")
 
     import copenet.dsets.aerialpeople as ref_ap
     return ref_ap.aerialpeople_crop

@@ -83,7 +83,8 @@ def _our_rotmat_to_aa_torch(rotmat34):
     from airpose_tpu.geometry.rotations import rotmat_to_aa
 
     r = rotmat34.detach().cpu().numpy()[..., :3, :3]
-    return torch.from_numpy(np.asarray(rotmat_to_aa(jnp.asarray(r))))
+    # copy: jax exports are non-writable; from_numpy on them warns
+    return torch.from_numpy(np.array(rotmat_to_aa(jnp.asarray(r)), copy=True))
 
 
 class _FakeVPoser:
@@ -170,7 +171,8 @@ def _fake_self(**weights):
 
 
 def _t(a):
-    return torch.from_numpy(np.ascontiguousarray(a))
+    # copy: torch.from_numpy on a non-writable view warns (and would alias)
+    return torch.from_numpy(np.array(a, copy=True))
 
 
 def _preds(rng, two_view):
