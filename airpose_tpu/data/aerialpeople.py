@@ -25,30 +25,143 @@ import numpy as np
 
 from .. import constants as C
 from ..geometry.rotations import batch_rodrigues
+from .validate import (DbSchemaError, PathResolver, check_rotation,
+                       float_field, require_keys)
+
+# per-sample pkl contract (ref dsets/aerialpeople.py:84-211 reads exactly
+# these keys from every sample)
+SAMPLE_KEYS = (
+    "cam0", "cam1", "im0", "im1", "bb0", "bb1",
+    "smplpose", "smplshape", "smplorient_rotmat_wrt_origin", "smpltrans",
+    "smpl_joints_wrt_origin", "smpl_vertices_wrt_origin",
+)
 
 
 def load_split_list(datapath: str, split: str) -> List[str]:
     path = os.path.join(datapath, "dataset", f"{split}_pkls.pkl")
+    if not os.path.exists(path):
+        raise DbSchemaError(
+            f"aerialpeople: index pkl not found at {path}; expected the "
+            f"released layout <root>/dataset/{{train,test}}_pkls.pkl "
+            f"(ref dsets/aerialpeople.py:32-37)")
     with open(path, "rb") as f:
-        return pickle.load(f)
+        files = pickle.load(f)
+    if (not isinstance(files, (list, tuple)) or len(files) == 0
+            or not isinstance(files[0], str)):
+        raise DbSchemaError(
+            f"{path}: expected a non-empty list of per-sample pkl paths, "
+            f"got {type(files).__name__} of length "
+            f"{len(files) if hasattr(files, '__len__') else '?'}")
+    return list(files)
+
+
+def validate_sample_schema(rec: Dict, what: str) -> None:
+    """Loud first-contact schema check of one sample pkl (the released
+    pkls come from an unknown builder machine — fail with a diagnosis, not
+    a downstream shape error; same policy as validate.validate_h36m)."""
+    require_keys(rec, SAMPLE_KEYS, what)
+    pose = float_field(rec, "smplpose", what, min_size=63)
+    if pose.size != 63:
+        raise DbSchemaError(
+            f"{what}: 'smplpose' has {pose.size} elements; expected the "
+            f"21-joint SMPL-X body pose (63 axis-angle floats)")
+    if float(np.abs(pose).max()) > 10.0:
+        raise DbSchemaError(
+            f"{what}: 'smplpose' max |value| = {np.abs(pose).max():.3g}; "
+            f"axis-angle poses are RADIANS — this looks like degrees or a "
+            f"wrong field")
+    shape = float_field(rec, "smplshape", what, min_size=10)
+    if shape.size != 10:
+        raise DbSchemaError(f"{what}: 'smplshape' has {shape.size} "
+                            f"elements; expected 10 betas")
+    orient = float_field(rec, "smplorient_rotmat_wrt_origin", what,
+                         min_size=9)
+    if orient.size != 9:
+        raise DbSchemaError(
+            f"{what}: 'smplorient_rotmat_wrt_origin' has {orient.size} "
+            f"elements (shape {orient.shape}); expected a (3, 3) rotation "
+            f"(optionally batched (1, 3, 3))")
+    check_rotation(orient.reshape(3, 3),
+                   f"{what} 'smplorient_rotmat_wrt_origin'")
+    trans = float_field(rec, "smpltrans", what, min_size=3)
+    if trans.size != 3:
+        raise DbSchemaError(f"{what}: 'smpltrans' has {trans.size} "
+                            f"elements; expected 3")
+    joints = float_field(rec, "smpl_joints_wrt_origin", what,
+                         min_size=24 * 3, divisible=3)
+    ext = joints.reshape(-1, 3)
+    diag = float(np.linalg.norm(ext.max(0) - ext.min(0)))
+    if not (0.25 <= diag <= 6.0):
+        raise DbSchemaError(
+            f"{what}: 'smpl_joints_wrt_origin' human extent {diag:.3g} "
+            f"implausible for METRES (expected 0.25–6 m; millimetre GT "
+            f"means a wrong-unit db)")
+    for cam in (0, 1):
+        cwhat = f"{what} 'cam{cam}'"
+        require_keys(rec[f"cam{cam}"], ["intr", "extr"], cwhat)
+        K = np.asarray(rec[f"cam{cam}"]["intr"], np.float64).reshape(-1)
+        if K.size != 9:
+            raise DbSchemaError(f"{cwhat}/intr: expected a (3, 3) K, got "
+                                f"{K.size} elements")
+        K = K.reshape(3, 3)
+        if K[0, 0] <= 0 or K[1, 1] <= 0:
+            raise DbSchemaError(
+                f"{cwhat}/intr: non-positive focals "
+                f"({K[0, 0]:.3g}, {K[1, 1]:.3g}) — not a camera matrix")
+        E = np.asarray(rec[f"cam{cam}"]["extr"], np.float64)
+        E = E.reshape(E.shape[-2:]) if E.ndim > 2 else E
+        if E.shape not in ((3, 4), (4, 4)):
+            raise DbSchemaError(
+                f"{cwhat}/extr: expected a (3, 4) or (4, 4) extrinsic, got "
+                f"shape {tuple(np.asarray(rec[f'cam{cam}']['extr']).shape)}")
+        check_rotation(E[:3, :3], f"{cwhat}/extr rotation")
+        bb = float_field(rec, f"bb{cam}", what, min_size=4)
+        if bb.size != 4:
+            raise DbSchemaError(f"{what}: 'bb{cam}' has {bb.size} elements; "
+                                f"expected [[xmin, ymin], [xmax, ymax]]")
+        bb = bb.reshape(2, 2)
+        if not np.all(bb[1] > bb[0]):
+            raise DbSchemaError(
+                f"{what}: 'bb{cam}' box {bb.tolist()} has max <= min — "
+                f"corner order is [[xmin, ymin], [xmax, ymax]]")
 
 
 class AerialPeopleDataset:
-    """Host-side reader producing canonical-batch numpy arrays."""
+    """Host-side reader producing canonical-batch numpy arrays.
+
+    First contact with a released unpack is hardened the same way the
+    round-4 h36m/totalcap loaders are: the index pkl and every per-sample
+    ``im{cam}`` field may carry stale ABSOLUTE paths from the builder's
+    machine (that is why the reference ships a path-rewrite step,
+    ref copenet/scripts/prepare_aerialpeople_dataset.py:1-16) —
+    `PathResolver` relocates them under the local root, and sample 0 gets
+    a loud O(1) schema check at construction (`validate_sample_schema`).
+    """
 
     def __init__(self, datapath: str, split: str = "train",
-                 context_size: int = 672):
+                 context_size: int = 672, validate: bool = True):
         self.datapath = datapath
+        self.resolver = PathResolver(datapath)
         self.files = load_split_list(datapath, split)
         self.data_root = datapath
         self.context_size = context_size
         self._gt_cache: Optional[Dict[str, np.ndarray]] = None
+        if validate:
+            self._first_contact_check(split)
+
+    def _first_contact_check(self, split: str) -> None:
+        what = f"aerialpeople {split} sample 0"
+        self.resolver.probe(self.files[0], f"{what} pkl")
+        rec = self.load_sample(0)
+        validate_sample_schema(rec, what)
+        for cam in (0, 1):
+            self.resolver.probe(rec[f"im{cam}"], f"{what} 'im{cam}'")
 
     def __len__(self):
         return len(self.files)
 
     def load_sample(self, idx: int) -> Dict:
-        with open(self.files[idx], "rb") as f:
+        with open(self.resolver(self.files[idx]), "rb") as f:
             return pickle.load(f)
 
     def precompute_canonical_gt(self, smplx_params, genders_to_params=None,
@@ -128,7 +241,7 @@ class AerialPeopleDataset:
         imgs = [None, None]
         if decode_images:
             for cam in (0, 1):
-                img = cv2.imread(os.path.join(self.data_root, db[f"im{cam}"]))
+                img = cv2.imread(self.resolver(db[f"im{cam}"]))
                 if img is not None:
                     imgs[cam] = img[:, :, ::-1]
         return db, imgs

@@ -88,9 +88,13 @@ class PathResolver:
         if not osp.isabs(p):
             return osp.join(self.root, p)
         if self._strip is not None:
-            cand = osp.join(self.root, *p.lstrip("/").split("/")[self._strip:])
-            if osp.exists(cand):
-                return cand
+            tail = p.lstrip("/").split("/")[self._strip:]
+            # guard: a cached depth >= this path's component count would
+            # collapse the candidate to the root itself (which exists)
+            if tail:
+                cand = osp.join(self.root, *tail)
+                if osp.exists(cand):
+                    return cand
         if osp.exists(p):
             return p
         parts = p.lstrip("/").split("/")

@@ -289,6 +289,19 @@ def main(argv=None):
                               required=REQUIRED_OUTPUT_KEYS[kind])
         first_key = REQUIRED_OUTPUT_KEYS[kind][0]
     n_ref = theirs[first_key].shape[0]
+    if not is_real:
+        # First contact with the released dataset unpack: relocate stale
+        # builder-machine absolute paths (index pkl + sample im0/im1) and
+        # schema-check sample 0 NOW, before the expensive convert/eval
+        # stages — the released pkls store absolute paths, which is why
+        # the reference ships a rewrite step
+        # (ref copenet/scripts/prepare_aerialpeople_dataset.py:1-16).
+        from ..data.aerialpeople import AerialPeopleDataset
+
+        ds_probe = AerialPeopleDataset(data_dir, args.split)
+        print(f"[1/4] dataset first contact OK: {len(ds_probe)} "
+              f"{args.split} samples, sample-0 schema + paths resolve",
+              flush=True)
     print(f"[1/4] assets validated: precalc has {n_ref} {args.split} "
           f"frames, fields {sorted(theirs)[:8]}…", flush=True)
 

@@ -813,3 +813,142 @@ def test_totalcap_schema_validation_loud(tmp_path):
 
     # the pristine fixture still constructs (validation is not lossy)
     TotalCaptureDataset(str(tmp_path), view_pair=(1, 2))
+
+
+def _stale_rewrite_aerialpeople(
+        root,
+        prefix="/home/nsaini/Datasets/AerialPeople"
+               "/agora_copenet_uniform_new_cropped"):
+    """Rewrite a fixture's index pkls AND per-sample ``im{cam}`` fields to
+    fake builder-machine ABSOLUTE paths — the released layout BEFORE the
+    reference's path-rewrite step runs (ref copenet/src/copenet/scripts/
+    prepare_aerialpeople_dataset.py:1-16 exists precisely because the
+    released pkls ship with these)."""
+    for split in ("train", "test"):
+        p = os.path.join(root, "dataset", f"{split}_pkls.pkl")
+        with open(p, "rb") as f:
+            files = pickle.load(f)
+        files = [prefix + "/pkls/" + os.path.basename(x) for x in files]
+        with open(p, "wb") as f:
+            pickle.dump(files, f)
+    for name in os.listdir(os.path.join(root, "pkls")):
+        sp = os.path.join(root, "pkls", name)
+        with open(sp, "rb") as f:
+            rec = pickle.load(f)
+        for cam in (0, 1):
+            rec[f"im{cam}"] = prefix + "/" + rec[f"im{cam}"]
+        with open(sp, "wb") as f:
+            pickle.dump(rec, f)
+
+
+def test_aerialpeople_stale_absolute_paths_relocate(tmp_path, rng):
+    """First contact with a released unpack: stale absolute paths in the
+    index pkl and inside every sample's im0/im1 relocate under the local
+    root (os.path.join(root, "/abs/path") silently returns the stale
+    absolute path — the round-4 VERDICT gap); a genuinely-missing frame
+    fails at construction with the candidate list."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.data.aerialpeople import AerialPeopleDataset
+    from airpose_tpu.data.validate import DbSchemaError
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    _write_fake_aerialpeople(str(tmp_path), params, n=3)
+    _stale_rewrite_aerialpeople(str(tmp_path))
+
+    ds = AerialPeopleDataset(str(tmp_path), "train")
+    hb = ds.host_batch([0, 1, 2], rng, swap_cams=False)
+    assert hb["context"].sum() > 0  # frames actually decoded post-relocate
+    assert (hb["context_extent"] > 0).all()
+
+    # a frame that exists nowhere under the root → loud diagnosis
+    sp = os.path.join(str(tmp_path), "pkls",
+                      sorted(os.listdir(tmp_path / "pkls"))[0])
+    with open(sp, "rb") as f:
+        rec = pickle.load(f)
+    rec["im0"] = "/nowhere/at/all.jpg"
+    with open(sp, "wb") as f:
+        pickle.dump(rec, f)
+    with pytest.raises(DbSchemaError, match="not found; tried"):
+        AerialPeopleDataset(str(tmp_path), "train")
+
+
+def test_aerialpeople_schema_validation_loud(tmp_path):
+    """Deliberately-broken sample pkls fail at construction with a field
+    diagnosis instead of a downstream shape error or silent mis-scale."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.data.aerialpeople import AerialPeopleDataset
+    from airpose_tpu.data.validate import DbSchemaError
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    _write_fake_aerialpeople(str(tmp_path), params, n=2)
+    sp0 = os.path.join(str(tmp_path), "pkls",
+                       sorted(os.listdir(tmp_path / "pkls"))[0])
+    with open(sp0, "rb") as f:
+        good = pickle.load(f)
+
+    def dump(rec):
+        with open(sp0, "wb") as f:
+            pickle.dump(rec, f)
+
+    cases = [
+        # (mutation, diagnostic regex)
+        (lambda r: r.pop("smplshape"), r"missing required key.*smplshape"),
+        (lambda r: r.__setitem__(
+            "smplpose", np.degrees(np.asarray(r["smplpose"]))), "RADIANS"),
+        (lambda r: r.__setitem__(
+            "smpl_joints_wrt_origin",
+            np.asarray(r["smpl_joints_wrt_origin"]) * 1000.0),
+         "implausible for METRES"),
+        (lambda r: r["cam1"].__setitem__(
+            "extr", np.asarray(r["cam1"]["extr"]) * 2.0), "not orthonormal"),
+        (lambda r: r["cam0"].__setitem__("intr", -np.eye(3)),
+         "non-positive focals"),
+        (lambda r: r.__setitem__(
+            "bb0", np.asarray(r["bb0"])[::-1].copy()), "corner order"),
+        (lambda r: r.__setitem__("smplshape", np.zeros(16, np.float32)),
+         "expected 10 betas"),
+    ]
+    for mutate, pattern in cases:
+        rec = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in good.items()}
+        mutate(rec)
+        dump(rec)
+        with pytest.raises(DbSchemaError, match=pattern):
+            AerialPeopleDataset(str(tmp_path), "train")
+
+    # an empty / non-list index pkl is diagnosed too
+    dump(good)
+    AerialPeopleDataset(str(tmp_path), "train")  # pristine still constructs
+    with open(os.path.join(str(tmp_path), "dataset", "train_pkls.pkl"),
+              "wb") as f:
+        pickle.dump({}, f)
+    with pytest.raises(DbSchemaError, match="non-empty list"):
+        AerialPeopleDataset(str(tmp_path), "train")
+
+
+@pytest.mark.slow
+def test_aerialpeople_stale_paths_through_compile_results(tmp_path, capsys):
+    """The VERDICT round-4 'first contact' scenario end-to-end: a dataset
+    whose pkls carry fake builder-machine absolute paths must run all the
+    way through compile_results (the parity_run stage-3 path) without a
+    path rewrite step."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=3)
+    _stale_rewrite_aerialpeople(str(data_dir))
+
+    out_pkl = str(tmp_path / "tv.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl,
+        "--batch_size", "2", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    capsys.readouterr()
+    with open(out_pkl, "rb") as f:
+        res = pickle.load(f)
+    n = sum(o["output"]["pred_angles0"].shape[0] for o in res[0])
+    assert n == 3
