@@ -23,6 +23,11 @@ Oracle targets:
   copenet.copenet_singleview.get_loss         (ref :76-131)
   copenet.hmr.get_loss                        (ref :74-126)
   copenet.muhmr.get_loss                      (ref :76-141)
+  copenet_real.copenet_singleview.get_loss    (ref :83-131; supervised,
+      character-identical to the synthetic singleview — oracled so the
+      real trainer's --model copenet_singleview entry is covered; the
+      real trainer's --model muhmr entry imports a module that does not
+      exist in the reference and is broken there, PARITY.md)
   copenet_real.copenet_twoview.get_loss       (ref :100-161)
   copenet_real.hmr_camswap_difffl.get_loss    (ref :92-128)
   copenet_real.spin.get_loss                  (ref :86-123)
@@ -154,12 +159,18 @@ def ref_losses():
     import copenet.copenet_twoview as tw
     import copenet.hmr as hmr
     import copenet.muhmr as muhmr
+    import copenet_real.copenet_singleview as rsv
     import copenet_real.copenet_twoview as rtw
     import copenet_real.hmr_camswap_difffl as rcs
     import copenet_real.spin as rsp
+    # NOTE the real trainer's remaining entry, `--model muhmr`
+    # (copenet_real/copenet_trainer.py:36), imports copenet_real.muhmr —
+    # a module that does not exist in the reference tree; that entry is
+    # broken in the reference itself (PARITY.md), nothing to oracle.
     return {"twoview": tw.copenet_twoview, "singleview": sv.copenet_singleview,
             "hmr": hmr.hmr, "muhmr": muhmr.muhmr,
             "real_twoview": rtw.copenet_twoview,
+            "real_singleview_supervised": rsv.copenet_singleview,
             "real_camswap": rcs.hmr, "real_spin": rsp.spin}
 
 
@@ -272,7 +283,14 @@ def test_loss_oracle_twoview(ref_losses, monkeypatch):
           "loss_regul_betas"])
 
 
-def test_loss_oracle_singleview(ref_losses, monkeypatch):
+@pytest.mark.parametrize("family",
+                         ["singleview", "real_singleview_supervised"])
+def test_loss_oracle_singleview(ref_losses, monkeypatch, family):
+    """The real package carries a SUPERVISED copenet_singleview too
+    (ref copenet_real/copenet_singleview.py:83-131, reachable via its
+    trainer's --model copenet_singleview, copenet_trainer.py:31-32) whose
+    get_loss is character-identical to the synthetic one — both oracle
+    rows map onto this framework's singleview_loss."""
     import jax.numpy as jnp
 
     import airpose_tpu.train.losses as L
@@ -283,7 +301,7 @@ def test_loss_oracle_singleview(ref_losses, monkeypatch):
     gt = _gt(rng, False)
     rotmat = _rotmat(pose6d)
 
-    ref = ref_losses["singleview"]
+    ref = ref_losses[family]
     fs = _fake_self(**W)
     input_batch = {
         "smplpose_rotmat": _t(gt["gt_pose_rotmat"]),
