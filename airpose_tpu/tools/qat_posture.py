@@ -20,6 +20,17 @@ Usage:
     python -m airpose_tpu.tools.qat_posture [--platform cpu]
         [--calib_shrink 1.0] [--steps_pre 15] [--steps_ft 20]
 
+Config-of-record mode (the round-4 VERDICT ask — the fixture-scale 30%
+frozen-vs-dynamic headline re-measured at the training config of record,
+ref copenet_twoview.py:419-425,655-675: batch 30, 224 px):
+
+    python -m airpose_tpu.tools.qat_posture --batch 30 --img 224 \
+        --num_batches 8 --steps_pre 240 --steps_ft 160
+
+``--num_batches > 1`` cycles distinct batches during train/fine-tune and
+evaluates every arm on a HELD-OUT batch (the single-batch default keeps
+the original overfit-one-batch fixture semantics).
+
 No reference counterpart (the reference serves fp32); this closes the
 framework's own quantization-recovery story (PERF.md).
 """
@@ -42,6 +53,9 @@ def main(argv=None):
     p.add_argument("--calib_shrink", type=float, default=1.0,
                    help="scale the calibrated table by this factor "
                         "(<1 models an unrepresentative calibration set)")
+    p.add_argument("--num_batches", type=int, default=1,
+                   help="distinct training batches to cycle; > 1 also "
+                        "holds out one extra batch for evaluation")
     p.add_argument("--platform", default=None,
                    help="jax platform override (e.g. cpu)")
     args = p.parse_args(argv)
@@ -58,10 +72,16 @@ def main(argv=None):
     from ..train import losses as L
 
     smplx = synthetic_smplx_params(num_vertices=args.verts, seed=3)
+    nb = max(args.num_batches, 1)
     dataset = make_synthetic_dataset(
-        smplx, num_samples=2 * args.batch, seed=5, img_size=args.img,
+        smplx, num_samples=(nb + 1) * args.batch, seed=5, img_size=args.img,
         blob_sigma=3.0)
-    batch = batch_slice(dataset, 0, args.batch)
+    train_batches = [batch_slice(dataset, i * args.batch, args.batch)
+                     for i in range(nb)]
+    # held-out eval batch when cycling several; the single-batch default
+    # keeps the original overfit-one-batch fixture semantics
+    batch = (batch_slice(dataset, nb * args.batch, args.batch)
+             if nb > 1 else train_batches[0])
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, img_res=args.img)
 
     model = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters)
@@ -72,9 +92,9 @@ def main(argv=None):
     train_step, eval_step = make_twoview_step_fns(model, smplx, cfg, tx)
 
     key = jax.random.PRNGKey(42)
-    for _ in range(args.steps_pre):
+    for s in range(args.steps_pre):
         key, sub = jax.random.split(key)
-        state, _ = train_step(state, batch, sub)
+        state, _ = train_step(state, train_batches[s % nb], sub)
     bf16_loss = float(eval_step(state, batch)[0]["loss"])
 
     # deployment calibration on the pre-trained weights, optionally shrunk
@@ -83,9 +103,12 @@ def main(argv=None):
                 "batch_stats": jax.device_get(st.batch_stats)}
 
     imgs = jnp.asarray(batch["images"])
-    imgs2 = imgs.reshape((-1,) + imgs.shape[-3:])
-    table = calibrate_act_scales(quantize_trunk_params(host_vars(state)),
-                                 imgs2)
+    # calibrate on TRAINING data (the deployment recipe; never the
+    # held-out eval batch)
+    calib_imgs = jnp.asarray(train_batches[0]["images"])
+    table = calibrate_act_scales(
+        quantize_trunk_params(host_vars(state)),
+        calib_imgs.reshape((-1,) + calib_imgs.shape[-3:]))
     table = {k: float(v) * args.calib_shrink for k, v in table.items()}
 
     def deployed_loss(st):
@@ -113,13 +136,14 @@ def main(argv=None):
         # argument, so handing `state` itself to an arm would delete the
         # other arms' weights
         st, k = jax.tree.map(jnp.copy, state), jax.random.PRNGKey(7)
-        for _ in range(args.steps_ft):
+        for s in range(args.steps_ft):
             k, sub = jax.random.split(k)
-            st, _ = ft_step(st, batch, sub)
+            st, _ = ft_step(st, train_batches[s % nb], sub)
         arms[name] = st
 
     print(f"\nqat posture experiment: B={args.batch} @{args.img}, "
-          f"pre {args.steps_pre} / ft {args.steps_ft} steps, "
+          f"pre {args.steps_pre} / ft {args.steps_ft} steps over {nb} "
+          f"batch(es){' + held-out eval' if nb > 1 else ''}, "
           f"calib_shrink={args.calib_shrink}, "
           f"platform={jax.devices()[0].platform}")
     print(f"  bf16 eval loss (pretrain): {bf16_loss:.4f}")

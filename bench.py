@@ -143,12 +143,20 @@ def main():
                 time.sleep(30)
 
     run_with_retry(lambda: float(chain(variables, x)))  # warmup/compile
-    t0 = time.perf_counter()
-    result = float(chain(variables, x))  # transfer = sync barrier
-    dt = (time.perf_counter() - t0) / N_ITERS
-    assert np.isfinite(result)
+    # Median of N repeats with printed spread: single-shot runs through the
+    # relay have shown −2% excursions (round-4 driver capture 8,973 vs the
+    # builder's 9,113–9,139 triplet — PERF.md "bench stability"), so the
+    # recorded value is the median and the JSON carries min/max.
+    n_repeats = int(os.environ.get("AIRPOSE_BENCH_REPEATS", "5"))
+    fps_runs = []
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        result = float(chain(variables, x))  # transfer = sync barrier
+        dt = (time.perf_counter() - t0) / N_ITERS
+        assert np.isfinite(result)
+        fps_runs.append(B / dt)
 
-    fps = B / dt
+    fps = float(np.median(fps_runs))
     print(
         json.dumps(
             {
@@ -156,6 +164,11 @@ def main():
                 "value": round(fps, 1),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 1000.0, 3),
+                "repeats": n_repeats,
+                "min": round(min(fps_runs), 1),
+                "max": round(max(fps_runs), 1),
+                "spread_pct": round(
+                    100.0 * (max(fps_runs) - min(fps_runs)) / fps, 2),
             }
         )
     )
