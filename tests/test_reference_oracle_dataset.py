@@ -31,10 +31,17 @@ different interpolation taps (documented in data/pipeline.py:19-20).
 Stubs (external deps only, none touched by the compared math):
 torchvision.transforms (functional ToTensor/Normalize replicas), imgaug,
 torchgeometry (import-only), the smplx submodule (empty in the reference
-checkout; its SMPLX forward feeds only the untested smpl_vertices/
-smpl_joints fields — stubbed to zeros; lbs.batch_rodrigues is routed to
-the reference's OWN utils.geometry.batch_rodrigues so the gt pose-rotmat
-comparison stays a pure reference oracle).
+checkout): its SMPLX classes are routed through THIS framework's
+``smplx_forward`` on the fixture's synthetic body-model params — the SAME
+body model both sides — so the reference's canonical gendered-forward
+plumbing (betas/rotmat-pose composition, identity root) and its
+``transform_smpl`` cam-frame GT verts/joints are compared against our
+``precompute_canonical_gt`` cache + ``cam_frame_and_project`` composition
+(what remains un-oracle-able in-image is only the true fork's SMPL-X
+numerics, subsumed by the released-asset parity run).
+lbs.batch_rodrigues is routed to the reference's OWN
+utils.geometry.batch_rodrigues so the gt pose-rotmat comparison stays a
+pure reference oracle.
 """
 
 import os
@@ -101,12 +108,33 @@ def ref_dataset_cls():
     from copenet.utils.geometry import batch_rodrigues as ref_rodrigues
 
     class _FakeSMPLX:
-        def __init__(self, *a, **k):
-            pass
+        """The empty-submodule SMPLX routed through THIS framework's
+        smplx_forward on the fixture's synthetic params — same body model
+        both sides, so the reference's gendered canonical-forward plumbing
+        is actually exercised (module doc)."""
 
-        def forward(self, betas=None, **k):
+        def __init__(self, *a, **k):
+            from airpose_tpu.bodymodel import synthetic_smplx_params
+
+            # must match the dataset_dir fixture's generator args
+            self.params = synthetic_smplx_params(num_vertices=90, seed=3)
+
+        def forward(self, betas=None, body_pose=None, global_orient=None,
+                    transl=None, pose2rot=False):
+            import jax.numpy as jnp
+
+            from airpose_tpu.bodymodel import smplx_forward
+
+            assert not pose2rot and float(transl.abs().max()) == 0.0
+            out = smplx_forward(
+                self.params,
+                jnp.asarray(betas.numpy()),
+                body_pose=jnp.asarray(body_pose.numpy()),
+                global_orient=jnp.asarray(global_orient.numpy()),
+            )
             return types.SimpleNamespace(
-                vertices=torch.zeros(1, 8, 3), joints=torch.zeros(1, 127, 3))
+                vertices=torch.from_numpy(np.array(out.vertices, copy=True)),
+                joints=torch.from_numpy(np.array(out.joints, copy=True)))
 
     sm = _mod("copenet.smplx")
     smm = _mod("copenet.smplx.smplx")
@@ -152,10 +180,33 @@ def test_dataset_oracle(ref_dataset_cls, dataset_dir, monkeypatch):
     idxs = list(range(len(ref_ds)))
     ref_items = [ref_ds[i] for i in idxs]
 
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.train.losses import cam_frame_and_project
+
+    params = synthetic_smplx_params(num_vertices=90, seed=3)
     ours = AerialPeopleDataset(dataset_dir, "train")
+    cache = ours.precompute_canonical_gt(params)
     hb = ours.host_batch(idxs, np.random.default_rng(0), swap_cams=False)
     batch = finish_batch(hb, jax.random.PRNGKey(0), deterministic=True)
     batch = {k: np.asarray(v) for k, v in batch.items()}
+
+    # cam-frame GT verts/joints: the reference transform_smpl's the pkl's
+    # WORLD arrays per view (ref :160-164); ours composes gt_orient/
+    # gt_trans with the canonical cache (cam_frame_and_project) — same
+    # rigid transform, different factorization
+    B = len(idxs)
+    njoints = cache["joints"].shape[1]
+    cam_j, _ = cam_frame_and_project(
+        jnp.asarray(hb["gt_orient"]), jnp.asarray(hb["gt_trans"]),
+        jnp.broadcast_to(jnp.asarray(cache["joints"])[:, None],
+                         (B, 2, njoints, 3)),
+        jnp.asarray(hb["intr"]), (1475.0, 1475.0))
+    cam_v, _ = cam_frame_and_project(
+        jnp.asarray(hb["gt_orient"]), jnp.asarray(hb["gt_trans"]),
+        jnp.broadcast_to(jnp.asarray(cache["vertices"])[:, None],
+                         (B, 2, 90, 3)),
+        jnp.asarray(hb["intr"]), (1475.0, 1475.0))
+    cam_j, cam_v = np.asarray(cam_j), np.asarray(cam_v)
 
     # fixture windows fit the context buffer at native resolution — the
     # image comparison below would be meaningless through a downsample
@@ -167,6 +218,21 @@ def test_dataset_oracle(ref_dataset_cls, dataset_dir, monkeypatch):
             atol=1e-5, err_msg="pose rotmat")
         np.testing.assert_allclose(
             batch["gt_betas"][b], item["smplbetas"].numpy(), atol=1e-6)
+        # the reference's per-sample gendered canonical forward vs our
+        # one-time cache (same synthetic body model both sides)
+        np.testing.assert_allclose(
+            cache["vertices"][b], item["smpl_vertices"].numpy()[0],
+            atol=1e-5, err_msg="canonical GT vertices")
+        np.testing.assert_allclose(
+            cache["joints"][b], item["smpl_joints"].numpy()[0],
+            atol=1e-5, err_msg="canonical GT joints")
+        for v in (0, 1):
+            np.testing.assert_allclose(
+                cam_j[b, v], item[f"smpl_joints_rel{v}"].numpy()[0],
+                atol=5e-4, err_msg="cam-frame GT joints")
+            np.testing.assert_allclose(
+                cam_v[b, v], item[f"smpl_vertices_rel{v}"].numpy()[0],
+                atol=5e-4, err_msg="cam-frame GT vertices")
         for v in (0, 1):
             np.testing.assert_allclose(
                 batch["bb"][b, v], item[f"bb{v}"].numpy(), atol=1e-4,
