@@ -28,6 +28,37 @@ import numpy as np
 
 from .. import constants as C
 from ..geometry.rotations import batch_rodrigues
+from .validate import DbSchemaError
+
+# the released two-machine DJI capture layout (ref copenet_real.py:33-142)
+MACHINE_FILES = ("openpose_res.pkl", "alphapose_res.json",
+                 "camera_calib.yml", "markerposes_corrected_all.pkl")
+
+
+def validate_capture_layout(datapath: str) -> None:
+    """Loud first-contact check of a capture unpack: every machine file
+    the reader needs, listed in one diagnosis instead of a bare
+    FileNotFoundError on whichever file happens to load first."""
+    if not osp.isdir(datapath):
+        raise DbSchemaError(
+            f"copenet_real: capture root '{datapath}' is not a directory")
+    missing = []
+    for m in (1, 2):
+        mdir = osp.join(datapath, f"machine_{m}")
+        if not osp.isdir(mdir):
+            missing.append(f"machine_{m}/")
+            continue
+        missing += [f"machine_{m}/{f}" for f in MACHINE_FILES
+                    if not osp.exists(osp.join(mdir, f))]
+        if not osp.isdir(osp.join(mdir, "images")):
+            missing.append(f"machine_{m}/images/ (keypoints-only runs "
+                           f"tolerate absent frames, not an absent dir)")
+    if missing:
+        raise DbSchemaError(
+            f"copenet_real: capture at '{datapath}' is missing {missing}; "
+            f"expected the released DJI layout machine_{{1,2}}/{{images/, "
+            f"{', '.join(MACHINE_FILES)}}} "
+            f"(ref copenet_real/dsets/copenet_real.py:33-142)")
 
 # Public detector→SMPL-order joint index maps (ref copenet_real.py:18-19);
 # -1 marks joints with no detector counterpart (zeroed).
@@ -86,6 +117,7 @@ class CopenetRealDataset:
         kp_agrmnt_threshold: float = 100.0,
         context_size: int = 672,
     ):
+        validate_capture_layout(datapath)
         self.datapath = datapath
         self.frames = list(frame_range)
         self.first_cam = first_cam

@@ -289,6 +289,14 @@ def main(argv=None):
                               required=REQUIRED_OUTPUT_KEYS[kind])
         first_key = REQUIRED_OUTPUT_KEYS[kind][0]
     n_ref = theirs[first_key].shape[0]
+    if is_real:
+        # same fail-fast policy for the real capture: every machine file
+        # the reader needs, diagnosed before the convert/eval stages
+        from ..data.real import validate_capture_layout
+
+        validate_capture_layout(data_dir)
+        print("[1/4] capture first contact OK: machine_{1,2} layout "
+              "complete", flush=True)
     if not is_real:
         # First contact with the released dataset unpack: relocate stale
         # builder-machine absolute paths (index pkl + sample im0/im1) and

@@ -952,3 +952,24 @@ def test_aerialpeople_stale_paths_through_compile_results(tmp_path, capsys):
         res = pickle.load(f)
     n = sum(o["output"]["pred_angles0"].shape[0] for o in res[0])
     assert n == 3
+
+
+def test_real_capture_layout_validation_loud(tmp_path):
+    """An incomplete capture unpack is diagnosed in ONE message listing
+    every missing machine file (the released-DJI first-contact check,
+    symmetric with the aerialpeople/h36m/totalcap hardening)."""
+    from airpose_tpu.data.real import CopenetRealDataset
+    from airpose_tpu.data.validate import DbSchemaError
+
+    _write_fake_real(str(tmp_path), n=2)
+    os.remove(os.path.join(tmp_path, "machine_2", "openpose_res.pkl"))
+    os.remove(os.path.join(tmp_path, "machine_2", "camera_calib.yml"))
+    with pytest.raises(DbSchemaError) as e:
+        CopenetRealDataset(str(tmp_path), frame_range=range(0, 2))
+    msg = str(e.value)
+    assert "machine_2/openpose_res.pkl" in msg
+    assert "machine_2/camera_calib.yml" in msg
+    assert "machine_1" not in msg.split("missing")[1].split(";")[0]
+
+    with pytest.raises(DbSchemaError, match="not a directory"):
+        CopenetRealDataset(str(tmp_path / "nowhere"), frame_range=range(2))
