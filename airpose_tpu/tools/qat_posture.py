@@ -128,7 +128,11 @@ def main(argv=None):
         return float(loss)
 
     arms = {"ptq": state}
-    for name, act_fq in (("dynamic", 127.0), ("frozen", (127.0, table))):
+    # bf16_ft is the CONTROL arm: same extra step budget, no fake-quant —
+    # it separates "fake-quant training hurts" from "any continued
+    # training at this budget hurts (overfit / noise floor)"
+    for name, act_fq in (("bf16_ft", None), ("dynamic", 127.0),
+                         ("frozen", (127.0, table))):
         m = MODEL_REGISTRY["copenet_twoview"](iters=cfg.reg_iters,
                                               act_fq=act_fq)
         ft_step, _ = make_twoview_step_fns(m, smplx, cfg, tx)

@@ -16,6 +16,7 @@ from test_data import _write_fake_aerialpeople, _write_fake_real  # noqa: E402
 import pytest
 
 
+@pytest.mark.slow
 def test_compile_results_ondisk(tmp_path, capsys):
     """On-disk eval end to end: fixture dataset → metrics printed + outputs
     pkl written with both requested splits in [test, train] order."""
@@ -137,6 +138,7 @@ def test_compile_results_real(tmp_path, capsys):
     assert np.isfinite(out["pred_pose0"]).all()
 
 
+@pytest.mark.slow
 def test_compile_results_h36m(tmp_path, capsys):
     """h36m:// eval: joints-GT metrics (root-aligned MPJPE, PA-MPJPE,
     pelvis MPE per view) over the prebuilt-db layout, with an n % B != 0

@@ -5,6 +5,7 @@ trunk within the documented PTQ bounds."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from airpose_tpu.models.resnet import ResNet50
 from airpose_tpu.ops import (
@@ -150,6 +151,7 @@ def test_calibration_clip_rates_detect_shifted_data(rng):
     assert corr > 0.9, corr
 
 
+@pytest.mark.slow
 def test_compile_results_int8_calib_n_cli(tmp_path, capsys, rng):
     """--int8_calib_n: a larger calibration sample spans multiple eval
     batches and the clip-rate report prints; metrics stay finite."""

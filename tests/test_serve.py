@@ -555,7 +555,12 @@ def test_sep_staged_matches_sep_fused(rng):
     np.testing.assert_allclose(staged_pose, np.asarray(fused.pose[0]), atol=1e-4)
 
 
-@pytest.mark.parametrize("family", ["copenet_twoview", "copenet_twoview_sep"])
+@pytest.mark.parametrize("family", [
+    "copenet_twoview",
+    # the _sep variant restores two per-drone weight copies (47 s); it
+    # rides the full tier, the shared-weight variant keeps the fast tier
+    pytest.param("copenet_twoview_sep", marks=pytest.mark.slow),
+])
 def test_server_cli_serves_saved_checkpoint(tmp_path, rng, family):
     """The deployment entry point end to end: save a TrainState checkpoint
     exactly as the trainer does (for the shared family, with the
