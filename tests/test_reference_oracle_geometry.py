@@ -261,3 +261,49 @@ def test_oracle_weak_cam(ref_utils):
     got_back = np.asarray(weak_cam_to_trans(jnp.asarray(intr),
                                             jnp.asarray(want)))
     np.testing.assert_allclose(got_back, back, rtol=1e-5, atol=1e-5)
+
+
+def test_oracle_resize_with_pad(ref_utils):
+    """Device-pipeline crop/resize/pad vs the reference's OWN
+    resize_with_pad (ref utils/utils.py:214-235): exact scale, exact pad
+    band placement ([pad_left, pad_top] centering with the odd-remainder
+    going to bottom/right), loose interior pixels (cv2 bilinear vs
+    jax scale_and_translate taps — the documented interpolation
+    boundary, data/pipeline.py:19-20). Previously this rested on an
+    independent numpy transcription (test_data.py)."""
+    import jax.numpy as jnp
+
+    from airpose_tpu import constants as C
+    from airpose_tpu.data.pipeline import crop_resize_pad
+
+    # smooth content (see test_data.py note: cv2 truncates the resize
+    # target to ints, decorrelating high-frequency noise)
+    for h, w in ((180, 121), (97, 200)):  # odd remainders both ways
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], -1)
+        img_u8 = (img * 255).astype(np.uint8)
+
+        want, want_scale, (pad_left, pad_top) = ref_utils.resize_with_pad(
+            img_u8.astype(np.float64) / 255.0, size=224)
+
+        S = 256
+        ctx = np.zeros((1, S, S, 3), np.uint8)
+        ctx[0, :h, :w] = img_u8
+        got, got_scale = crop_resize_pad(
+            jnp.asarray(ctx), jnp.asarray([[0.0, 0.0, float(w), float(h)]]))
+        got = np.asarray(got)[0] * np.asarray(C.IMG_NORM_STD) \
+            + np.asarray(C.IMG_NORM_MEAN)
+
+        assert abs(float(got_scale[0]) - want_scale) < 1e-6
+        # pad bands exactly where the reference puts them (zero content)
+        ih, iw = want.shape[0] - 2 * pad_top, want.shape[1] - 2 * pad_left
+        if pad_top:
+            np.testing.assert_allclose(got[:pad_top], 0.0, atol=0.02)
+            assert np.abs(want[:pad_top]).max() == 0.0
+        if pad_left:
+            np.testing.assert_allclose(got[:, :pad_left], 0.0, atol=0.02)
+            assert np.abs(want[:, :pad_left]).max() == 0.0
+        # interior: same geometry, different bilinear taps
+        interior_g = got[pad_top:pad_top + ih, pad_left:pad_left + iw]
+        interior_w = want[pad_top:pad_top + ih, pad_left:pad_left + iw]
+        assert np.abs(interior_g - interior_w).mean() < 0.03
