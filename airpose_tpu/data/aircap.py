@@ -37,10 +37,34 @@ from typing import Sequence
 import numpy as np
 
 from .real import CopenetRealDataset
+from .validate import DbSchemaError
 
 
 def _closest(stamps: np.ndarray, t: float) -> int:
     return int(np.argmin(np.abs(stamps - t)))
+
+
+def validate_aircap_layout(datapath: str) -> None:
+    """Loud first-contact check of an aircap capture root (one message
+    listing every missing file — same policy as the copenet_real/
+    aerialpeople/h36m/totalcap hardening)."""
+    if not osp.isdir(datapath):
+        raise DbSchemaError(
+            f"aircap: capture root '{datapath}' is not a directory")
+    missing = [f for f in ("tstamps.npz",)
+               if not osp.exists(osp.join(datapath, f))]
+    for m in (1, 2):
+        mdir = osp.join(datapath, f"machine_{m}")
+        if not osp.isdir(mdir):
+            missing.append(f"machine_{m}/")
+            continue
+        missing += [f"machine_{m}/{f}" for f in ("joints2d.pkl", "camera.pkl")
+                    if not osp.exists(osp.join(mdir, f))]
+    if missing:
+        raise DbSchemaError(
+            f"aircap: capture at '{datapath}' is missing {missing}; "
+            f"expected tstamps.npz + machine_{{1,2}}/{{images/, "
+            f"joints2d.pkl, camera.pkl}} (module doc layout)")
 
 
 class AircapDataset(CopenetRealDataset):
@@ -56,6 +80,7 @@ class AircapDataset(CopenetRealDataset):
         context_size: int = 672,
     ):
         # deliberately NOT calling super().__init__ — different layout
+        validate_aircap_layout(datapath)
         self.datapath = datapath
         self.first_cam = first_cam
         self.shuffle_cams = False

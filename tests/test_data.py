@@ -973,3 +973,19 @@ def test_real_capture_layout_validation_loud(tmp_path):
 
     with pytest.raises(DbSchemaError, match="not a directory"):
         CopenetRealDataset(str(tmp_path / "nowhere"), frame_range=range(2))
+
+
+def test_aircap_capture_layout_validation_loud(tmp_path):
+    from airpose_tpu.data.aircap import AircapDataset
+    from airpose_tpu.data.validate import DbSchemaError
+
+    with pytest.raises(DbSchemaError, match="not a directory"):
+        AircapDataset(str(tmp_path / "nowhere"))
+    os.makedirs(tmp_path / "machine_1")
+    os.makedirs(tmp_path / "machine_2")
+    with pytest.raises(DbSchemaError) as e:
+        AircapDataset(str(tmp_path))
+    msg = str(e.value)
+    for part in ("tstamps.npz", "machine_1/joints2d.pkl",
+                 "machine_2/camera.pkl"):
+        assert part in msg
