@@ -435,16 +435,17 @@ def test_train_roofline_smoke(capsys):
 
 @pytest.mark.slow
 def test_qat_posture_smoke(capsys):
-    """tools/qat_posture runs all three arms on tiny CPU shapes and
-    returns finite deployed-int8 losses for each posture."""
+    """tools/qat_posture runs every arm (incl. the r5 bf16_ft control)
+    on tiny CPU shapes and returns finite deployed-int8 losses, in both
+    the overfit-one-batch default and the --num_batches held-out mode."""
     from airpose_tpu.tools.qat_posture import main as posture_main
 
     results = posture_main([
         "--batch", "2", "--img", "64", "--verts", "60",
-        "--steps_pre", "2", "--steps_ft", "2",
+        "--steps_pre", "2", "--steps_ft", "2", "--num_batches", "2",
     ])
     capsys.readouterr()
-    assert set(results) == {"bf16", "ptq", "dynamic", "frozen"}
+    assert set(results) == {"bf16", "ptq", "bf16_ft", "dynamic", "frozen"}
     for k, v in results.items():
         assert np.isfinite(v), (k, v)
 
