@@ -109,11 +109,12 @@ def validate_sample_schema(rec: Dict, what: str) -> None:
                 f"{cwhat}/intr: non-positive focals "
                 f"({K[0, 0]:.3g}, {K[1, 1]:.3g}) — not a camera matrix")
         E = np.asarray(rec[f"cam{cam}"]["extr"], np.float64)
-        E = E.reshape(E.shape[-2:]) if E.ndim > 2 else E
-        if E.shape not in ((3, 4), (4, 4)):
+        if (E.ndim < 2 or E.shape[-2:] not in ((3, 4), (4, 4))
+                or E.size != E.shape[-2] * E.shape[-1]):
             raise DbSchemaError(
-                f"{cwhat}/extr: expected a (3, 4) or (4, 4) extrinsic, got "
-                f"shape {tuple(np.asarray(rec[f'cam{cam}']['extr']).shape)}")
+                f"{cwhat}/extr: expected a (3, 4) or (4, 4) extrinsic "
+                f"(optionally batched (1, ...)), got shape {tuple(E.shape)}")
+        E = E.reshape(E.shape[-2:])
         check_rotation(E[:3, :3], f"{cwhat}/extr rotation")
         bb = float_field(rec, f"bb{cam}", what, min_size=4)
         if bb.size != 4:

@@ -60,11 +60,13 @@ def validate_aircap_layout(datapath: str) -> None:
             continue
         missing += [f"machine_{m}/{f}" for f in ("joints2d.pkl", "camera.pkl")
                     if not osp.exists(osp.join(mdir, f))]
+    # images/ is deliberately NOT required (keypoints-only captures work,
+    # same policy as validate_capture_layout)
     if missing:
         raise DbSchemaError(
             f"aircap: capture at '{datapath}' is missing {missing}; "
-            f"expected tstamps.npz + machine_{{1,2}}/{{images/, "
-            f"joints2d.pkl, camera.pkl}} (module doc layout)")
+            f"expected tstamps.npz + machine_{{1,2}}/{{joints2d.pkl, "
+            f"camera.pkl}} (+ images/ for image runs; module doc layout)")
 
 
 class AircapDataset(CopenetRealDataset):

@@ -50,14 +50,14 @@ def validate_capture_layout(datapath: str) -> None:
             continue
         missing += [f"machine_{m}/{f}" for f in MACHINE_FILES
                     if not osp.exists(osp.join(mdir, f))]
-        if not osp.isdir(osp.join(mdir, "images")):
-            missing.append(f"machine_{m}/images/ (keypoints-only runs "
-                           f"tolerate absent frames, not an absent dir)")
+    # images/ is deliberately NOT required: keypoints-only captures are a
+    # supported mode (the AirPose+ optimizer and to_hdf5 never decode
+    # frames; _probe_frame_wh and host_batch tolerate absent images)
     if missing:
         raise DbSchemaError(
             f"copenet_real: capture at '{datapath}' is missing {missing}; "
-            f"expected the released DJI layout machine_{{1,2}}/{{images/, "
-            f"{', '.join(MACHINE_FILES)}}} "
+            f"expected the released DJI layout machine_{{1,2}}/{{"
+            f"{', '.join(MACHINE_FILES)}}} (+ images/ for image runs) "
             f"(ref copenet_real/dsets/copenet_real.py:33-142)")
 
 # Public detector→SMPL-order joint index maps (ref copenet_real.py:18-19);

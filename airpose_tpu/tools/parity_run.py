@@ -297,7 +297,7 @@ def main(argv=None):
         validate_capture_layout(data_dir)
         print("[1/4] capture first contact OK: machine_{1,2} layout "
               "complete", flush=True)
-    if not is_real:
+    else:
         # First contact with the released dataset unpack: relocate stale
         # builder-machine absolute paths (index pkl + sample im0/im1) and
         # schema-check sample 0 NOW, before the expensive convert/eval
@@ -310,6 +310,7 @@ def main(argv=None):
         print(f"[1/4] dataset first contact OK: {len(ds_probe)} "
               f"{args.split} samples, sample-0 schema + paths resolve",
               flush=True)
+        del ds_probe
     print(f"[1/4] assets validated: precalc has {n_ref} {args.split} "
           f"frames, fields {sorted(theirs)[:8]}…", flush=True)
 

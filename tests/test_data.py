@@ -901,6 +901,9 @@ def test_aerialpeople_schema_validation_loud(tmp_path):
          "implausible for METRES"),
         (lambda r: r["cam1"].__setitem__(
             "extr", np.asarray(r["cam1"]["extr"]) * 2.0), "not orthonormal"),
+        (lambda r: r["cam1"].__setitem__(
+            "extr", np.stack([np.asarray(r["cam1"]["extr"])] * 2)),
+         r"extr: expected a \(3, 4\)"),
         (lambda r: r["cam0"].__setitem__("intr", -np.eye(3)),
          "non-positive focals"),
         (lambda r: r.__setitem__(
@@ -989,3 +992,23 @@ def test_aircap_capture_layout_validation_loud(tmp_path):
     for part in ("tstamps.npz", "machine_1/joints2d.pkl",
                  "machine_2/camera.pkl"):
         assert part in msg
+
+
+def test_real_capture_keypoints_only_constructs(tmp_path):
+    """A capture without any images/ (keypoints-only unpack — frames are
+    the bulky part; the AirPose+ optimizer and to_hdf5 never decode them)
+    must construct and serve keypoints; layout validation requires only
+    the four machine files."""
+    import shutil
+
+    from airpose_tpu.data.real import CopenetRealDataset
+
+    _write_fake_real(str(tmp_path), n=3)
+    for m in (1, 2):
+        shutil.rmtree(os.path.join(tmp_path, f"machine_{m}", "images"))
+    ds = CopenetRealDataset(str(tmp_path), frame_range=range(0, 3))
+    kp = ds.keypoints(1)
+    assert kp["openpose"].shape == (2, 24, 3)
+    assert ds.frame_wh == tuple(C.IMG_SIZE)  # nominal-size fallback
+    hb = ds.host_batch([0], np.random.default_rng(0), decode_images=False)
+    assert hb["gt_j2d_conf"].shape == (1, 2, 24, 3)

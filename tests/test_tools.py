@@ -449,6 +449,17 @@ def test_qat_posture_smoke(capsys):
     for k, v in results.items():
         assert np.isfinite(v), (k, v)
 
+    # the overfit-one-batch DEFAULT path (nb == 1 branch) — same shapes,
+    # so the jitted programs above are reused and this stays cheap
+    results1 = posture_main([
+        "--batch", "2", "--img", "64", "--verts", "60",
+        "--steps_pre", "1", "--steps_ft", "1",
+    ])
+    capsys.readouterr()
+    assert set(results1) == {"bf16", "ptq", "bf16_ft", "dynamic", "frozen"}
+    for k, v in results1.items():
+        assert np.isfinite(v), (k, v)
+
 
 @pytest.mark.slow
 def test_parity_run_real_mode(tmp_path, capsys):
