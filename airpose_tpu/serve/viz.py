@@ -48,13 +48,21 @@ def render_wire_messages(
     for i in range(min(len(wire), max_frames)):
         betas, trans, pose6d = unpack_params(wire[i])
         rotmat = np.asarray(rot6d_to_rotmat(jnp.asarray(pose6d.reshape(22, 6))))
+        # identity-root forward, then root rotation composed ABOUT THE
+        # ORIGIN — the reference rosViz's transform_smpl composition
+        # (ref copenet_rosViz.py:87-96) and this framework's loss/eval/BA
+        # convention. Passing rotmat[0] as global_orient instead would
+        # pivot at the root JOINT (standard LBS semantics) and shift the
+        # mesh by j0 − R·j0. (The reference rosViz also forgets to unscale
+        # the wire's ×0.05 translation — res_compile.py:221 multiplies by
+        # 20 to recover metres; unpack_params unscales, deliberately.)
         out = smplx_forward(
             smplx_params,
             jnp.asarray(betas)[None],
             body_pose=jnp.asarray(rotmat[1:])[None],
-            global_orient=jnp.asarray(rotmat[:1])[None],
+            global_orient=jnp.broadcast_to(jnp.eye(3), (1, 1, 3, 3)),
         )
-        verts = np.asarray(out.vertices)[0] + trans
+        verts = np.asarray(out.vertices)[0] @ rotmat[0].T + trans
 
         canvas = np.full(image_size[::-1] + (3,), 0.15)
         img = overlay_mesh(
