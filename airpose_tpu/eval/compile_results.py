@@ -296,13 +296,18 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
         if save_full:
             from ..bodymodel.smplx import smplx_forward
 
+            # identity-root forward + origin-pivot composition (R·v + t),
+            # matching the reference's pred_vertices_cam (ref
+            # copenet_twoview.py:282-305 transform_smpl; root-in-model
+            # would shift every vertex by j0 − R·j0)
             body = smplx_forward(
                 smplx_params,
                 jnp.asarray(pred_betas.reshape(B * 2, 10)),
                 body_pose=jnp.asarray(pred_rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
-                global_orient=jnp.asarray(pred_rotmat[:, :, :1].reshape(B * 2, 1, 3, 3)),
+                global_orient=jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3)),
             )
             verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
+            verts = np.einsum("bvij,bvnj->bvni", pred_rotmat[:, :, 0], verts)
             out["pred_vertices_cam0"] = verts[:, 0] + pred_trans[:, 0, None]
             out["pred_vertices_cam1"] = verts[:, 1] + pred_trans[:, 1, None]
         # padded tail rows are duplicates of the last frame — keep them out
@@ -531,18 +536,27 @@ def robust_crossview_consistency(
     mean per-joint L2 over robust frames
     (ref copenet_real_res_compile.py:139-143: world-frame
     ``j3d_wrt_origin − trans_wrt_origin`` per view, differenced over
-    err_idcs). Root-relative world joints reduce to R_extrᵀ · canonical
-    joints (the translations cancel)."""
+    err_idcs). The reference's j3d are the ORIGIN-pivot cam-frame joints
+    from fwd_pass (identity-root forward, then transform_smpl — ref
+    copenet_real/copenet_twoview.py:227-247), so root-relative world
+    joints reduce to R_extrᵀ · R_root · canonical identity-root joints
+    (the translations cancel; a root-in-model forward would pivot at the
+    root JOINT and add per-view (I − R_root)·j0 terms the reference's
+    formula does not have)."""
     import jax.numpy as jnp
 
     from ..eval.metrics import canonical_joints
 
     N = pred_rotmat.shape[0]
+    rm = jnp.asarray(pred_rotmat.reshape(N * 2, 22, 3, 3))
+    rm_id_root = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=rm.dtype), (N * 2, 1, 3, 3)),
+         rm[:, 1:]], axis=1)
     pj = canonical_joints(
-        smplx_params,
-        jnp.asarray(pred_betas.reshape(N * 2, 10)),
-        jnp.asarray(pred_rotmat.reshape(N * 2, 22, 3, 3)),
+        smplx_params, jnp.asarray(pred_betas.reshape(N * 2, 10)), rm_id_root
     ).reshape(N, 2, 22, 3)
+    root = jnp.asarray(pred_rotmat[:, :, 0])
+    pj = jnp.einsum("nvij,nvkj->nvki", root, pj, precision="highest")
     R = jnp.asarray(extr[:, :, :3, :3])
     world = jnp.einsum("nvji,nvkj->nvki", R, pj, precision="highest")
     d = jnp.sqrt(jnp.sum((world[:, 0] - world[:, 1]) ** 2, axis=-1))  # (N, 22)
@@ -606,13 +620,17 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
         if save_full:
             from ..bodymodel.smplx import smplx_forward
 
+            # identity-root + origin-pivot, as on the synthetic path (the
+            # reference's real fwd_pass uses the same transform_smpl
+            # composition, ref copenet_real/copenet_twoview.py:219-247)
             body = smplx_forward(
                 smplx_params,
                 jnp.asarray(betas.reshape(B * 2, 10)),
                 body_pose=jnp.asarray(rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
-                global_orient=jnp.asarray(rotmat[:, :, :1].reshape(B * 2, 1, 3, 3)),
+                global_orient=jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3)),
             )
             verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
+            verts = np.einsum("bvij,bvnj->bvni", rotmat[:, :, 0], verts)
             rec["pred_vertices_cam0"] = verts[:, 0] + trans[:, 0, None]
             rec["pred_vertices_cam1"] = verts[:, 1] + trans[:, 1, None]
         outputs.append({"output": {k: v[:valid] for k, v in rec.items()}})

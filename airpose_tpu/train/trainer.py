@@ -213,11 +213,15 @@ def _summary_grid(smplx_params, batch, rotmat2, betas2, trans2):
     from ..bodymodel.smplx import smplx_forward
     from ..utils.render import overlay_mesh
 
+    # identity-root forward + origin-pivot root composition (R·v + t) —
+    # the reference's pred_vertices_cam convention (ref
+    # copenet_twoview.py:282-305; root-in-model would pivot at the root
+    # joint and shift the overlay by j0 − R·j0)
     out = smplx_forward(
         smplx_params,
         jnp.asarray(betas2),
         body_pose=jnp.asarray(rotmat2[:, 1:]),
-        global_orient=jnp.asarray(rotmat2[:, :1]),
+        global_orient=jnp.broadcast_to(jnp.eye(3), (2, 1, 3, 3)),
     )
     mean = np.asarray(C.IMG_NORM_MEAN)
     std = np.asarray(C.IMG_NORM_STD)
@@ -232,7 +236,8 @@ def _summary_grid(smplx_params, batch, rotmat2, betas2, trans2):
             base_focal = np.asarray(C.FOCAL_LENGTH)
         s = float(np.asarray(batch["bb"][0, v, 2]))
         focal = (float(base_focal[0]) * s, float(base_focal[1]) * s)
-        verts = np.asarray(out.vertices)[v] + np.asarray(trans2[v])
+        verts = (np.asarray(out.vertices)[v] @ np.asarray(rotmat2[v, 0]).T
+                 + np.asarray(trans2[v]))
         ov = overlay_mesh(img, verts, smplx_params.faces, focal)
         rows.append(np.concatenate([img, ov], axis=1))
     return np.concatenate(rows, axis=0).astype(np.float32)
