@@ -248,6 +248,7 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
     import jax
     import jax.numpy as jnp
 
+    from .. import constants as C
     from ..eval.metrics import twoview_eval_metrics
     from ..geometry.rotations import rotmat_to_aa
     from ..train.loop import make_twoview_step_fns
@@ -294,22 +295,11 @@ def compile_twoview(state, model, smplx_params, batches: Iterable[Dict], cfg,
             "smplpose_rotmat": gt_pose,
         }
         if save_full:
-            from ..bodymodel.smplx import smplx_forward
-
-            # identity-root forward + origin-pivot composition (R·v + t),
-            # matching the reference's pred_vertices_cam (ref
-            # copenet_twoview.py:282-305 transform_smpl; root-in-model
-            # would shift every vertex by j0 − R·j0)
-            body = smplx_forward(
-                smplx_params,
-                jnp.asarray(pred_betas.reshape(B * 2, 10)),
-                body_pose=jnp.asarray(pred_rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
-                global_orient=jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3)),
-            )
-            verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
-            verts = np.einsum("bvij,bvnj->bvni", pred_rotmat[:, :, 0], verts)
-            out["pred_vertices_cam0"] = verts[:, 0] + pred_trans[:, 0, None]
-            out["pred_vertices_cam1"] = verts[:, 1] + pred_trans[:, 1, None]
+            out.update(_full_body_fields(
+                smplx_params, pred_rotmat, pred_betas, pred_trans,
+                np.asarray(batch["intr"]), C.FOCAL_LENGTH,
+                np.stack([out["in_smpltrans0"], out["in_smpltrans1"]],
+                         axis=1)))
         # padded tail rows are duplicates of the last frame — keep them out
         # of the outputs pkl and the metric accumulators
         outputs.append({"output": {k: v[:valid] for k, v in out.items()}})
@@ -442,6 +432,55 @@ def _int8_shim(model, state, batches, calib_n: int = 8):
           f"clip rate mean {vals.mean():.2e}, max {vals.max():.2e} "
           f"({worst}) over {len(rates)} tensors", flush=True)
     return model, itertools.chain(peeked, batches)
+
+
+def _full_body_fields(smplx_params, rotmat, betas, trans, intr, focal,
+                      in_trans):
+    """The reference is_test output's body-derived fields, suffixed per
+    view (ref copenet_twoview.py:328-335 / copenet_real same): cam-frame
+    vertices/joints via the identity-root forward + origin-pivot
+    composition (transform_smpl, :282-305), their 2D projection
+    (per-view ``focal``, per-sample principal point), and the zero-β
+    "input" mesh at the IEF init translation (pred_vertices_cam_in*,
+    :249-271). rotmat (B, 2, 22, 3, 3); in_trans (B, 2, 3)."""
+    import jax.numpy as jnp
+
+    from ..bodymodel.smplx import smplx_forward
+    from ..train.losses import cam_frame_and_project
+
+    B = rotmat.shape[0]
+    root = jnp.asarray(rotmat[:, :, 0])
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B * 2, 1, 3, 3))
+    body = smplx_forward(
+        smplx_params,
+        jnp.asarray(betas.reshape(B * 2, 10)),
+        body_pose=jnp.asarray(rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
+        global_orient=eye,
+    )
+    verts = jnp.reshape(body.vertices, (B, 2) + body.vertices.shape[1:])
+    joints = jnp.reshape(body.joints, (B, 2) + body.joints.shape[1:])
+    cam_v = (jnp.einsum("bvij,bvnj->bvni", root, verts, precision="highest")
+             + jnp.asarray(trans)[:, :, None])
+    cam_j, j2d = cam_frame_and_project(
+        root, jnp.asarray(trans), joints, jnp.asarray(intr), focal)
+    # zero-β input mesh at the init translation (identity root)
+    body_in = smplx_forward(
+        smplx_params,
+        jnp.zeros((B * 2, 10), jnp.float32),
+        body_pose=jnp.asarray(rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
+        global_orient=eye,
+    )
+    verts_in = (
+        jnp.reshape(body_in.vertices, (B, 2) + body_in.vertices.shape[1:])
+        + jnp.asarray(in_trans)[:, :, None]
+    )
+    f = {}
+    for v in (0, 1):
+        f[f"pred_vertices_cam{v}"] = np.asarray(cam_v[:, v])
+        f[f"pred_j3d_cam{v}"] = np.asarray(cam_j[:, v])
+        f[f"pred_j2d_cam{v}"] = np.asarray(j2d[:, v])
+        f[f"pred_vertices_cam_in{v}"] = np.asarray(verts_in[:, v])
+    return f
 
 
 def compile_singleview(state, model, smplx_params, batches: Iterable[Dict],
@@ -618,21 +657,17 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
             "pred_betas0": betas[:, 0], "pred_betas1": betas[:, 1],
         }
         if save_full:
-            from ..bodymodel.smplx import smplx_forward
-
-            # identity-root + origin-pivot, as on the synthetic path (the
-            # reference's real fwd_pass uses the same transform_smpl
-            # composition, ref copenet_real/copenet_twoview.py:219-247)
-            body = smplx_forward(
-                smplx_params,
-                jnp.asarray(betas.reshape(B * 2, 10)),
-                body_pose=jnp.asarray(rotmat[:, :, 1:].reshape(B * 2, 21, 3, 3)),
-                global_orient=jnp.broadcast_to(jnp.eye(3), (B * 2, 1, 3, 3)),
-            )
-            verts = np.asarray(body.vertices).reshape(B, 2, -1, 3)
-            verts = np.einsum("bvij,bvnj->bvni", rotmat[:, :, 0], verts)
-            rec["pred_vertices_cam0"] = verts[:, 0] + trans[:, 0, None]
-            rec["pred_vertices_cam1"] = verts[:, 1] + trans[:, 1, None]
+            # per-view real focals (ref real fwd_pass projects
+            # pred_j2d_cam with focal_length0/1, copenet_real/
+            # copenet_twoview.py:297-307); the IEF init translation is
+            # the fixed [0, 0, 10] of the real path
+            in_t = np.tile([0, 0, 10.0], (B, 2, 1)).astype(np.float32)
+            rec.update(_full_body_fields(
+                smplx_params, rotmat, betas, trans,
+                np.asarray(batch["intr"]), np.asarray(ds.focal_pairs()),
+                in_t))
+            rec["in_smpltrans0"] = in_t[:, 0]
+            rec["in_smpltrans1"] = in_t[:, 1]
         outputs.append({"output": {k: v[:valid] for k, v in rec.items()}})
         all_rotmat.append(rotmat[:valid])
         all_betas.append(betas[:valid])

@@ -492,3 +492,92 @@ def test_compile_results_restores_reg_only_checkpoint(tmp_path, capsys):
     printed = capsys.readouterr().out
     assert "test_mpjpe0" in printed
     assert os.path.exists(out_pkl + ".metrics.json")
+
+
+@pytest.mark.slow
+def test_save_full_exports_reference_body_fields(tmp_path, capsys):
+    """--save-full writes the reference is_test output's full body-derived
+    field set (ref copenet_twoview.py:328-350 / copenet_real :316-335):
+    cam-frame vertices/joints (identity-root forward + origin-pivot
+    composition), their per-view-focal 2D projection, and the zero-beta
+    input mesh — on the synthetic AND real paths."""
+    from airpose_tpu.bodymodel import synthetic_smplx_params
+    from airpose_tpu.eval.compile_results import main
+
+    params = synthetic_smplx_params(num_vertices=99, seed=4)
+    data_dir = tmp_path / "aerial"
+    os.makedirs(data_dir)
+    _write_fake_aerialpeople(str(data_dir), params, n=2)
+
+    body_fields = {"pred_vertices_cam0", "pred_vertices_cam1",
+                   "pred_j3d_cam0", "pred_j3d_cam1",
+                   "pred_j2d_cam0", "pred_j2d_cam1",
+                   "pred_vertices_cam_in0", "pred_vertices_cam_in1",
+                   "in_smpltrans0", "in_smpltrans1"}
+
+    out_pkl = str(tmp_path / "tv.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", str(data_dir),
+        "--split", "test", "--out", out_pkl, "--save-full",
+        "--batch_size", "2", "--img_res", "64", "--synthetic_verts", "99",
+    ])
+    capsys.readouterr()
+    out = pickle.load(open(out_pkl, "rb"))[0][0]["output"]
+    assert body_fields <= set(out)
+    n = out["pred_angles0"].shape[0]
+    assert out["pred_vertices_cam0"].shape == (n, 99, 3)
+    assert out["pred_j3d_cam0"].shape[0] == n
+    assert out["pred_j2d_cam1"].shape[-1] == 2
+    for k in body_fields:
+        assert np.isfinite(out[k]).all(), k
+    # the zero-beta input mesh is a different body than the prediction
+    assert not np.allclose(out["pred_vertices_cam_in0"],
+                           out["pred_vertices_cam0"], atol=1e-4)
+    # origin-pivot convention: verts composed as R.v_canon + t, so
+    # subtracting the translation and unrotating recovers a view-invariant
+    # canonical mesh (view 0 and view 1 agree on it)
+    from scipy.spatial.transform import Rotation
+
+    r0 = Rotation.from_rotvec(out["pred_angles0"][:, 0]).as_matrix()
+    r1 = Rotation.from_rotvec(out["pred_angles1"][:, 0]).as_matrix()
+    c0 = np.einsum("nji,nvj->nvi", r0,
+                   out["pred_vertices_cam0"] - out["pred_smpltrans0"][:, None])
+    c1 = np.einsum("nji,nvj->nvi", r1,
+                   out["pred_vertices_cam1"] - out["pred_smpltrans1"][:, None])
+    # both views share betas/pose only approximately (independent heads on
+    # random weights) — instead check view 0's canonical recovery equals a
+    # direct identity-root forward of its own pose
+    import jax.numpy as jnp
+
+    from airpose_tpu.bodymodel import smplx_forward
+    from airpose_tpu.geometry.rotations import batch_rodrigues
+
+    rm = np.asarray(batch_rodrigues(jnp.asarray(
+        out["pred_angles0"][:, 1:].reshape(-1, 3)))).reshape(n, 21, 3, 3)
+    # compile_results evaluates with its own default-seed synthetic body
+    # (main() builds synthetic_smplx_params(num_vertices=...) seed 0)
+    eval_params = synthetic_smplx_params(num_vertices=99)
+    direct = smplx_forward(
+        eval_params, jnp.asarray(out["pred_betas0"]),
+        body_pose=jnp.asarray(rm),
+        global_orient=jnp.broadcast_to(jnp.eye(3), (n, 1, 3, 3)))
+    np.testing.assert_allclose(c0, np.asarray(direct.vertices), atol=5e-4)
+    del c1
+
+    # real:// path
+    real_dir = tmp_path / "real"
+    os.makedirs(real_dir)
+    _write_fake_real(str(real_dir), n=3)
+    out_pkl = str(tmp_path / "real.pkl")
+    main([
+        "--model", "copenet_twoview", "--datapath", f"real://{real_dir}",
+        "--split", "test", "--test_frames", "0", "3", "--out", out_pkl,
+        "--save-full", "--batch_size", "2", "--img_res", "64",
+        "--synthetic_verts", "99",
+    ])
+    capsys.readouterr()
+    out = pickle.load(open(out_pkl, "rb"))[0][0]["output"]
+    assert body_fields <= set(out)
+    np.testing.assert_allclose(out["in_smpltrans0"][0], [0, 0, 10.0])
+    for k in body_fields:
+        assert np.isfinite(out[k]).all(), k
