@@ -128,15 +128,23 @@ def compare_outputs(ours: dict, theirs: dict):
     shared = sorted(set(ours) & set(theirs))
     report = {}
     for k in shared:
-        a, b = np.asarray(ours[k], np.float64), np.asarray(
-            theirs[k], np.float64)
+        # float32 + chunked: the vertex fields are ~GB-scale over a full
+        # released split; a float64 whole-field diff would triple the peak
+        a, b = np.asarray(ours[k], np.float32), np.asarray(
+            theirs[k], np.float32)
         n = min(a.shape[0], b.shape[0])
         if a.shape[1:] != b.shape[1:]:
             report[k] = {"error": f"shape mismatch {a.shape} vs {b.shape}"}
             continue
-        d = np.abs(a[:n] - b[:n])
-        report[k] = {"n": int(n), "mean_abs": float(d.mean()),
-                     "max_abs": float(d.max())}
+        tot, mx, cnt = 0.0, 0.0, 0
+        for s in range(0, n, 512):
+            d = np.abs(a[s:s + 512].astype(np.float64)
+                       - b[s:s + 512].astype(np.float64))
+            tot += float(d.sum())
+            mx = max(mx, float(d.max()))
+            cnt += d.size
+        report[k] = {"n": int(n), "mean_abs": tot / max(cnt, 1),
+                     "max_abs": mx}
     return report
 
 
@@ -331,6 +339,12 @@ def main(argv=None):
         "--out", ours_pkl, "--batch_size", str(args.batch_size),
         "--img_res", str(args.img_res),
     ]
+    if args.model == "copenet_twoview":
+        # the released twoview precalc pkls carry the full body-derived
+        # field set (pred_vertices_cam*, pred_j3d_cam*, pred_j2d_cam*,
+        # pred_vertices_cam_in*); export ours too so the stage-4 field
+        # diff covers them
+        cmd += ["--save-full"]
     if is_real:
         cmd += ["--test_frames", str(args.test_frames[0]),
                 str(args.test_frames[1])]
