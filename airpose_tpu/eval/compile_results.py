@@ -581,24 +581,28 @@ def robust_crossview_consistency(
     joints reduce to R_extrᵀ · R_root · canonical identity-root joints
     (the translations cancel; a root-in-model forward would pivot at the
     root JOINT and add per-view (I − R_root)·j0 terms the reference's
-    formula does not have)."""
+    formula does not have). The difference runs over the FULL joint set
+    (the reference differences pred_j3d_cam = output.joints, all 127
+    SMPL-X joints, not the 22-joint body subset)."""
     import jax.numpy as jnp
 
-    from ..eval.metrics import canonical_joints
+    from ..bodymodel.smplx import smplx_forward
 
     N = pred_rotmat.shape[0]
     rm = jnp.asarray(pred_rotmat.reshape(N * 2, 22, 3, 3))
-    rm_id_root = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=rm.dtype), (N * 2, 1, 3, 3)),
-         rm[:, 1:]], axis=1)
-    pj = canonical_joints(
-        smplx_params, jnp.asarray(pred_betas.reshape(N * 2, 10)), rm_id_root
-    ).reshape(N, 2, 22, 3)
+    body = smplx_forward(
+        smplx_params,
+        jnp.asarray(pred_betas.reshape(N * 2, 10)),
+        body_pose=rm[:, 1:],
+        global_orient=jnp.broadcast_to(
+            jnp.eye(3, dtype=rm.dtype), (N * 2, 1, 3, 3)),
+    )
+    pj = jnp.reshape(body.joints, (N, 2) + body.joints.shape[1:])
     root = jnp.asarray(pred_rotmat[:, :, 0])
     pj = jnp.einsum("nvij,nvkj->nvki", root, pj, precision="highest")
     R = jnp.asarray(extr[:, :, :3, :3])
     world = jnp.einsum("nvji,nvkj->nvki", R, pj, precision="highest")
-    d = jnp.sqrt(jnp.sum((world[:, 0] - world[:, 1]) ** 2, axis=-1))  # (N, 22)
+    d = jnp.sqrt(jnp.sum((world[:, 0] - world[:, 1]) ** 2, axis=-1))  # (N, J)
     mask = jnp.asarray(err_idcs, jnp.float32)[:, None]
     return float((d * mask).sum() / jnp.maximum(mask.sum() * d.shape[1], 1.0))
 
@@ -659,13 +663,15 @@ def compile_real_twoview(state, model, smplx_params, vposer_params, ds,
         if save_full:
             # per-view real focals (ref real fwd_pass projects
             # pred_j2d_cam with focal_length0/1, copenet_real/
-            # copenet_twoview.py:297-307); the IEF init translation is
-            # the fixed [0, 0, 10] of the real path
+            # copenet_twoview.py:297-307) — batch["focal"] is already in
+            # VIEW order (real_batches swaps the pair under first_cam=1,
+            # and aircap substitutes the capture's true intrinsics); the
+            # IEF init translation is the fixed [0, 0, 10] of the real path
             in_t = np.tile([0, 0, 10.0], (B, 2, 1)).astype(np.float32)
             rec.update(_full_body_fields(
                 smplx_params, rotmat, betas, trans,
-                np.asarray(batch["intr"]), np.asarray(ds.focal_pairs()),
-                in_t))
+                np.asarray(batch["intr"]),
+                np.asarray(batch.get("focal", ds.focal_pairs())), in_t))
             rec["in_smpltrans0"] = in_t[:, 0]
             rec["in_smpltrans1"] = in_t[:, 1]
         outputs.append({"output": {k: v[:valid] for k, v in rec.items()}})

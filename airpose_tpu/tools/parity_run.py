@@ -136,6 +136,10 @@ def compare_outputs(ours: dict, theirs: dict):
         if a.shape[1:] != b.shape[1:]:
             report[k] = {"error": f"shape mismatch {a.shape} vs {b.shape}"}
             continue
+        # truncate BOTH sides to the aligned prefix before chunking —
+        # row-count mismatches are the expected case (drop_last batches,
+        # --test_frames windows)
+        a, b = a[:n], b[:n]
         tot, mx, cnt = 0.0, 0.0, 0
         for s in range(0, n, 512):
             d = np.abs(a[s:s + 512].astype(np.float64)

@@ -539,14 +539,11 @@ def test_save_full_exports_reference_body_fields(tmp_path, capsys):
     from scipy.spatial.transform import Rotation
 
     r0 = Rotation.from_rotvec(out["pred_angles0"][:, 0]).as_matrix()
-    r1 = Rotation.from_rotvec(out["pred_angles1"][:, 0]).as_matrix()
     c0 = np.einsum("nji,nvj->nvi", r0,
                    out["pred_vertices_cam0"] - out["pred_smpltrans0"][:, None])
-    c1 = np.einsum("nji,nvj->nvi", r1,
-                   out["pred_vertices_cam1"] - out["pred_smpltrans1"][:, None])
-    # both views share betas/pose only approximately (independent heads on
-    # random weights) — instead check view 0's canonical recovery equals a
-    # direct identity-root forward of its own pose
+    # check view 0's canonical recovery equals a direct identity-root
+    # forward of its own pose (the two views' poses only agree
+    # approximately on random weights, so no cross-view assertion)
     import jax.numpy as jnp
 
     from airpose_tpu.bodymodel import smplx_forward
@@ -562,7 +559,6 @@ def test_save_full_exports_reference_body_fields(tmp_path, capsys):
         body_pose=jnp.asarray(rm),
         global_orient=jnp.broadcast_to(jnp.eye(3), (n, 1, 3, 3)))
     np.testing.assert_allclose(c0, np.asarray(direct.vertices), atol=5e-4)
-    del c1
 
     # real:// path
     real_dir = tmp_path / "real"
